@@ -1,0 +1,88 @@
+"""Benchmark: gradient-evals/sec/chip and ESS/sec for batched NUTS sampling.
+
+Prints ONE JSON line with the headline metric.  Runs on whatever accelerator
+jax picks (the TPU chip under the driver; CPU elsewhere).
+
+The reference (pymc-devs/nuts-rs) publishes no numbers (BASELINE.md); the
+comparable harness is its ``sample_1000_10`` criterion bench (1000 draws of a
+10-d normal, 1 CPU core).  Our headline metric follows BASELINE.json:
+gradient evaluations per second per chip across many vmapped chains.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Single-chain CPU throughput of THIS engine on the nuts-rs sample_1000_10
+# config (10-d normal, 1000 tune + 1000 draws, 1 chain, f64 CPU), measured in
+# this container; stands in for the reference's unpublished criterion numbers
+# (BASELINE.md: nuts-rs publishes no values).  vs_baseline = value / this.
+SINGLE_CHAIN_CPU_GRAD_EVALS_PER_SEC = 45604.0
+
+
+def run_bench(num_chains=1024, dim=10, num_tune=300, num_draws=700, maxdepth=10):
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian
+
+    model = gaussian.normal_logp(dim, mu=3.0)
+    settings = nt.DiagNutsSettings(
+        num_tune=num_tune, num_draws=num_draws, num_chains=num_chains,
+        maxdepth=maxdepth, seed=0)
+    sampler = nt.Sampler(model, settings, dtype=jnp.float32,
+                         chunk_size=num_tune)
+
+    # Warm up compile: run the warmup phase (also times adaptation).
+    t0 = time.monotonic()
+    sampler.run_next_chunk()  # tune chunk (compiles)
+    t_tune = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    while not sampler.finished:
+        sampler.run_next_chunk()
+    t_sample = time.monotonic() - t0
+
+    trace = sampler.trace.finalize()
+    draws = trace.posterior["position"]  # [C, K, d]
+    n_steps = trace.sample_stats["n_steps"].astype(np.int64)
+    grad_evals = int(n_steps.sum())
+    grad_evals_per_sec = grad_evals / t_sample
+
+    # ESS via batch-means on the first coordinate (cheap, conservative).
+    x = draws[..., 0]
+    c, k = x.shape
+    nb = max(1, k // 50)
+    bm = x[:, : nb * 50].reshape(c, nb, 50).mean(axis=2)
+    var_bm = bm.var(axis=1, ddof=1).mean()
+    var_x = x.var(ddof=1)
+    ess_per_chain = k * var_x / (50 * var_bm)
+    ess_total = float(ess_per_chain * c)
+    ess_per_sec = ess_total / t_sample
+
+    mean_err = abs(float(draws.mean()) - 3.0)
+
+    return {
+        "metric": "gradient_evals_per_sec_per_chip",
+        "value": round(grad_evals_per_sec, 1),
+        "unit": "grad_evals/s",
+        "vs_baseline": round(
+            grad_evals_per_sec / SINGLE_CHAIN_CPU_GRAD_EVALS_PER_SEC, 3),
+        "detail": {
+            "num_chains": num_chains,
+            "dim": dim,
+            "num_draws": num_draws,
+            "draws_per_sec": round(num_draws * num_chains / t_sample, 1),
+            "ess_per_sec": round(ess_per_sec, 1),
+            "tune_seconds": round(t_tune, 2),
+            "sample_seconds": round(t_sample, 2),
+            "posterior_mean_abs_error": round(mean_err, 4),
+            "platform": jax.devices()[0].platform,
+        },
+    }
+
+
+if __name__ == "__main__":
+    result = run_bench()
+    print(json.dumps(result))

@@ -1,0 +1,51 @@
+"""nuts_rs_tpu — a TPU-native NUTS/HMC inference engine.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+pymc-devs/nuts-rs (reference mounted at /root/reference): NUTS with diagonal /
+low-rank / normalizing-flow mass-matrix adaptation, MCLMC, dual-averaging and
+Adam step-size adaptation, multi-chain sampling vmapped within a chip and
+sharded over device meshes, and progressive ArviZ-compatible trace storage.
+"""
+
+from .adapt.schedule import AdaptScheduleOptions
+from .adapt.step_size import (
+    AdamOptions,
+    DualAverageOptions,
+    StepSizeMethod,
+    StepSizeSettings,
+)
+from .dynamics.hamiltonian import KineticKind
+from .kernels.nuts import NutsOptions
+from .models.model import Model
+from .sampler import (
+    ChainProgress,
+    DiagNutsSettings,
+    LowRankNutsSettings,
+    NutsSettings,
+    Sampler,
+    sample,
+    sample_sequentially,
+)
+from .storage.memory import MemoryConfig, Trace
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AdamOptions",
+    "AdaptScheduleOptions",
+    "ChainProgress",
+    "DiagNutsSettings",
+    "DualAverageOptions",
+    "KineticKind",
+    "LowRankNutsSettings",
+    "MemoryConfig",
+    "Model",
+    "NutsOptions",
+    "NutsSettings",
+    "Sampler",
+    "StepSizeMethod",
+    "StepSizeSettings",
+    "Trace",
+    "sample",
+    "sample_sequentially",
+]

@@ -1,0 +1,142 @@
+"""Warmup window schedule, precomputed per draw index.
+
+Replaces the draw-by-draw control flow of nuts-rs ``GlobalStrategy``
+(``src/adapt_strategy.rs:24-238``) with host-side precomputation: the switch /
+update / estimator-phase decisions depend only on the draw index (plus static
+options), so the whole schedule is materialized as flag arrays passed into the
+device ``lax.scan`` as per-draw inputs.  Expensive operations (mass-matrix
+refits, the step-size re-init search) then gate on *scalar* flags — real
+``lax.cond`` branches on device, no vmap->select blowup across chains.
+
+TPU-first deviation (documented): the reference advances windows by the count
+of *good* (non-divergent) draws per chain; we advance by draw index, assuming
+all draws are good.  Per-chain masks still control which samples enter the
+estimators, so only the switch *timing* differs, and only for chains that
+diverge during warmup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptScheduleOptions:
+    """nuts-rs ``EuclideanAdaptOptions`` (``src/adapt_strategy.rs:41-69``)."""
+
+    early_window: float = 0.3
+    step_size_window: float = 0.15
+    mass_matrix_switch_freq: int = 80
+    early_mass_matrix_switch_freq: int = 10
+    mass_matrix_update_freq: int = 1
+    mass_matrix_window_growth: float = 1.5
+
+
+class AdaptSchedule(NamedTuple):
+    """Per-draw flag arrays over ``num_tune + num_draws`` steps."""
+
+    is_tuning: np.ndarray        # bool: draw < num_tune
+    update_estimators: np.ndarray  # bool: feed mass-matrix estimators this draw
+    do_switch: np.ndarray        # bool: fg/bg window swap before the update
+    do_update: np.ndarray        # bool: recompute the mass matrix
+    use_late_estimator: np.ndarray  # bool: dual-avg uses symmetric accept mean
+    reinit_step_size: np.ndarray  # bool: re-run the step-size init search
+    use_best_guess: np.ndarray   # bool: update_stepsize(use_best_guess=...)
+    skip_stepsize_update: np.ndarray  # bool: draw where init search replaces it
+    advance_da: np.ndarray       # bool: advance dual averaging this draw
+
+
+def build_schedule(num_tune: int, num_draws: int,
+                   opts: AdaptScheduleOptions) -> AdaptSchedule:
+    """Simulate ``GlobalStrategy::adapt`` (adapt_strategy.rs:121-222) by draw index."""
+    total = num_tune + num_draws
+    early_end = int(opts.early_window * num_tune)
+    step_size_window = int(opts.step_size_window * num_tune)
+    final_step_size_window = num_tune - step_size_window
+
+    is_tuning = np.zeros(total, bool)
+    update_estimators = np.zeros(total, bool)
+    do_switch = np.zeros(total, bool)
+    do_update = np.zeros(total, bool)
+    use_late = np.zeros(total, bool)
+    reinit = np.zeros(total, bool)
+    use_best = np.zeros(total, bool)
+    skip_ss = np.zeros(total, bool)
+    advance_da = np.zeros(total, bool)
+
+    # Counter state of the simulated strategy (all-good-draws assumption).
+    bg_count = 1      # init() feeds one sample into fg and bg
+    fg_count = 1
+    current_window = opts.mass_matrix_switch_freq
+    last_update = 0
+    has_initial_mass_matrix = True
+
+    for draw in range(total):
+        if draw >= num_tune:
+            use_best[draw] = True
+            continue
+        is_tuning[draw] = True
+
+        if draw < final_step_size_window:
+            is_early = draw < early_end
+            if (not is_early) and draw == early_end:
+                current_window = max(current_window, bg_count)
+            switch_freq = (opts.early_mass_matrix_switch_freq if is_early
+                           else current_window)
+
+            update_estimators[draw] = True
+            bg_count += 1
+            fg_count += 1
+
+            could_switch = bg_count >= switch_freq
+            if is_early:
+                next_window = opts.early_mass_matrix_switch_freq
+            else:
+                next_window = max(
+                    current_window + 1,
+                    int(round(current_window * opts.mass_matrix_window_growth)))
+            is_late = next_window + draw > final_step_size_window
+
+            force_update = False
+            if could_switch and not is_late:
+                do_switch[draw] = True
+                fg_count = bg_count
+                bg_count = 0
+                force_update = True
+                if not is_early:
+                    current_window = next_window
+
+            did_change = False
+            if force_update or (draw - last_update >= opts.mass_matrix_update_freq):
+                if fg_count >= 3:
+                    do_update[draw] = True
+                    did_change = True
+            if did_change:
+                last_update = draw
+
+            use_late[draw] = is_late
+            advance_da[draw] = True
+
+            if did_change and has_initial_mass_matrix:
+                has_initial_mass_matrix = False
+                reinit[draw] = True
+                skip_ss[draw] = True
+        else:
+            use_late[draw] = True
+            advance_da[draw] = True
+            use_best[draw] = draw == num_tune - 1
+
+    return AdaptSchedule(
+        is_tuning=is_tuning,
+        update_estimators=update_estimators,
+        do_switch=do_switch,
+        do_update=do_update,
+        use_late_estimator=use_late,
+        reinit_step_size=reinit,
+        use_best_guess=use_best,
+        skip_stepsize_update=skip_ss,
+        advance_da=advance_da,
+    )

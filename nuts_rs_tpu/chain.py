@@ -1,0 +1,310 @@
+"""Chain driver: warmup + sampling as one jitted scan over draws.
+
+TPU-native replacement for ``NutsChain`` and the ``AdaptStrategy`` wiring
+(nuts-rs ``src/chain.rs:44-213``, ``src/adapt_strategy.rs:71-238``).
+
+The chains axis is explicit (leading dim C) rather than object-per-chain; the
+per-draw NUTS kernel is vmapped over it, while adaptation updates execute as
+batched tensor ops gated on *scalar* schedule flags (precomputed host-side,
+see ``adapt/schedule.py``) so that expensive refits run under real
+``lax.cond`` instead of per-chain selects.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .adapt import mass_matrix as mm
+from .adapt import step_size as ss
+from .adapt.schedule import AdaptSchedule
+from .dynamics.hamiltonian import KineticKind, init_point_from_q
+from .dynamics.point import Point
+from .kernels.nuts import NutsOptions, nuts_draw
+from .transform.affine import AffineTransform, identity_transform, init_diag_from_grad
+
+
+class ChainState(NamedTuple):
+    """All per-chain device state; every leaf has a leading chains axis."""
+
+    pt: Point                      # current draw (position, gradient, caches)
+    transform: AffineTransform     # mass matrix / coordinate transform
+    diag_adapt: mm.DiagAdaptState  # fg/bg variance estimators
+    step: ss.StepSizeState         # step-size adaptation state
+    keys: jax.Array                # [C] per-chain PRNG keys
+    draw_idx: jax.Array            # [] global draw counter
+    extra: Any = None              # strategy-specific extra state (low-rank window, ...)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainConfig:
+    """Static configuration shared by all chains."""
+
+    nuts: NutsOptions
+    step_size: ss.StepSizeSettings
+    use_grad_based_estimate: bool = True
+    store_gradient: bool = False
+    store_unconstrained: bool = False
+    store_transformed: bool = False
+    store_divergences: bool = False
+    store_mass_matrix: bool = False
+
+
+class DiagStrategy:
+    """Diagonal mass-matrix adaptation (nuts-rs ``DiagAdaptStrategy``).
+
+    With ``cross_chain=True`` the foreground estimators are pooled across all
+    chains (and, under ``shard_map`` with ``axis_name`` set, across the device
+    mesh via psum) before each mass-matrix update — the TPU-native extension
+    the reference cannot express (SURVEY.md §2.12).
+    """
+
+    needs_extra_state = False
+
+    def __init__(self, config: ChainConfig, cross_chain: bool = False,
+                 axis_name: Optional[str] = None):
+        self.config = config
+        self.cross_chain = cross_chain
+        self.axis_name = axis_name
+
+    def init_extra(self, dim, num_tune, dtype, num_chains):
+        return None
+
+    def make_transform(self, dim, dtype):
+        return identity_transform(dim, dtype)
+
+    def init_mass_matrix(self, state: ChainState) -> ChainState:
+        """Feed the init point into the estimators and set sigma^2 = 1/|g|.
+
+        (nuts-rs ``transform/adapt/diagonal.rs:209-231``)
+        """
+        da = jax.vmap(mm.update_estimators, in_axes=(0, 0, 0, None))(
+            state.diag_adapt, state.pt.q, state.pt.g, True)
+        transform = jax.vmap(init_diag_from_grad)(state.transform, state.pt.q,
+                                                  state.pt.g)
+        return state._replace(diag_adapt=da, transform=transform)
+
+    def update_estimators(self, state: ChainState, draw_q, draw_g, is_good):
+        da = jax.vmap(mm.update_estimators)(state.diag_adapt, draw_q, draw_g,
+                                            is_good)
+        return state._replace(diag_adapt=da)
+
+    def switch(self, state: ChainState) -> ChainState:
+        return state._replace(diag_adapt=jax.vmap(mm.switch)(state.diag_adapt))
+
+    def adapt_update(self, state: ChainState) -> ChainState:
+        adapt = state.diag_adapt
+        if self.cross_chain:
+            from .parallel.collectives import merge_running_variance
+
+            adapt = mm.DiagAdaptState(
+                draw=merge_running_variance(adapt.draw, self.axis_name),
+                grad=merge_running_variance(adapt.grad, self.axis_name),
+                draw_bg=adapt.draw_bg,
+                grad_bg=adapt.grad_bg,
+            )
+        transform = jax.vmap(
+            partial(mm.adapt_diag,
+                    use_grad_based_estimate=self.config.use_grad_based_estimate)
+        )(adapt, state.transform)
+        return state._replace(transform=transform)
+
+
+def _mean0(x, n):
+    return x / jnp.maximum(n.astype(x.dtype), 1.0)
+
+
+def make_draw_step(model, strategy, config: ChainConfig):
+    """Build the scan body: one draw + adaptation for all chains.
+
+    The returned function has signature ``(state, flags) -> (state, stats)``
+    where ``flags`` is one row of the precomputed :class:`AdaptSchedule`.
+    """
+
+    logp_grad = model.logp_and_grad
+    sset = config.step_size
+
+    def draw_step(state: ChainState, flags):
+        keys = jax.vmap(jax.random.split, in_axes=(0, None))(state.keys, 3)
+        k_draw, k_jitter, k_next = keys[:, 0], keys[:, 1], keys[:, 2]
+
+        draw_pt, info = jax.vmap(
+            nuts_draw, in_axes=(0, 0, 0, 0, None, None)
+        )(k_draw, state.pt, state.transform, state.step.step_size, logp_grad,
+          config.nuts)
+
+        state = state._replace(pt=draw_pt, keys=k_next)
+
+        # --- step-size statistics from this draw's collector ---
+        n = info.n_steps
+        mean_acc = _mean0(info.sum_accept, n)
+        sym_acc = _mean0(info.sum_accept_sym, n)
+
+        # --- mass-matrix window (scalar-flag gated; adapt_strategy.rs:140-216) ---
+        state = jax.lax.cond(
+            flags["update_estimators"],
+            lambda s: strategy.update_estimators(s, draw_pt.q, draw_pt.g,
+                                                 info.is_good_for_adapt),
+            lambda s: s, state)
+        state = jax.lax.cond(flags["do_switch"], strategy.switch,
+                             lambda s: s, state)
+        state = jax.lax.cond(flags["do_update"], strategy.adapt_update,
+                             lambda s: s, state)
+
+        # --- dual averaging advance (early: plain mean; late: symmetric) ---
+        accept_stat = jnp.where(flags["use_late_estimator"], sym_acc, mean_acc)
+        step_new = jax.vmap(partial(ss.advance, settings=sset))(
+            state.step, accept_stat)
+        step_state = jax.tree.map(
+            lambda new, old: jnp.where(flags["advance_da"], new, old),
+            step_new, state.step)
+
+        # --- step size for the next draw ---
+        def with_reinit(stp):
+            # First mass-matrix change: re-run the coarse init search from the
+            # current position with the new transform (adapt_strategy.rs:207-212).
+            found = jax.vmap(
+                partial(ss.init_search, logp_grad_fn=logp_grad, settings=sset,
+                        kind=config.nuts.kind)
+            )(k_jitter, draw_pt.q, state.transform)
+            return jax.vmap(ss.reset_from_found_step)(stp, found)
+
+        def without_reinit(stp):
+            return jax.vmap(
+                lambda k, s, ubg: ss.apply_jitter(k, s, sset, ubg),
+                in_axes=(0, 0, None),
+            )(k_jitter, stp, flags["use_best_guess"])
+
+        step_state = jax.lax.cond(flags["reinit_step_size"], with_reinit,
+                                  without_reinit, step_state)
+        state = state._replace(step=step_state,
+                               draw_idx=state.draw_idx + 1)
+
+        # --- per-draw stats record (dense; host compacts sparse events) ---
+        stats = {
+            "position": draw_pt.q,
+            "depth": info.depth,
+            "maxdepth_reached": info.reached_maxdepth,
+            "diverging": info.diverging,
+            "n_steps": info.n_steps,
+            "step_size": state.step.step_size,
+            "step_size_bar": jax.vmap(
+                partial(ss.step_size_bar, settings=sset))(state.step),
+            "mean_tree_accept": mean_acc,
+            "mean_tree_accept_sym": sym_acc,
+            "max_energy_error": info.max_energy_error,
+            "logp": draw_pt.logp,
+            "energy": info.energy,
+            "energy_error": info.energy_error,
+            "index_in_trajectory": info.idx_in_trajectory,
+            "fisher_distance": jax.vmap(
+                lambda z, zg: jnp.sum(jnp.square(z + zg)))(draw_pt.z, draw_pt.zg),
+            "transformation_index": state.transform.id,
+            "tuning": jnp.broadcast_to(flags["is_tuning"], info.depth.shape),
+        }
+        if config.store_gradient:
+            stats["gradient"] = draw_pt.g
+        if config.store_unconstrained:
+            stats["unconstrained_draw"] = draw_pt.q
+        if config.store_transformed:
+            stats["transformed_position"] = draw_pt.z
+            stats["transformed_gradient"] = draw_pt.zg
+        if config.store_divergences:
+            stats["divergence_start"] = info.divergence.start_location
+            stats["divergence_start_gradient"] = info.divergence.start_gradient
+            stats["divergence_end"] = info.divergence.end_location
+            stats["divergence_energy_error"] = info.divergence.energy_error
+        if config.store_mass_matrix:
+            stats["mass_matrix_inv"] = state.transform.stds
+            stats["transformation_mu"] = state.transform.mean
+
+        return state, stats
+
+    return draw_step
+
+
+def init_chain_state(
+    key,
+    model,
+    strategy,
+    config: ChainConfig,
+    num_chains: int,
+    num_tune: int,
+    dtype,
+    init_positions: Optional[jax.Array] = None,
+    init_retries: int = 100,
+) -> ChainState:
+    """Set up all chains: init positions, mass-matrix init, step-size search.
+
+    Mirrors ``NutsChain::set_position`` + ``GlobalStrategy::init``
+    (nuts-rs ``src/chain.rs:137-149``, ``src/adapt_strategy.rs:100-119``) and
+    the init-position retry loop of ``src/sampler.rs:1133-1143``.
+    """
+    dim = model.dim
+    key, k_init = jax.random.split(key)
+    chain_keys = jax.random.split(key, num_chains)
+
+    def find_position(k):
+        def try_one(carry):
+            k, _, _ = carry
+            k, k_pos = jax.random.split(k)
+            q = model.init_position(k_pos, dtype)
+            logp, g = model.logp_and_grad(q)
+            ok = jnp.isfinite(logp) & jnp.all(jnp.isfinite(g))
+            return k, q, ok
+
+        def cond(carry_it):
+            (k, q, ok), it = carry_it
+            return (~ok) & (it < init_retries)
+
+        def body(carry_it):
+            carry, it = carry_it
+            return try_one(carry), it + 1
+
+        carry = try_one((k, jnp.zeros(dim, dtype), jnp.asarray(False)))
+        (k, q, ok), _ = jax.lax.while_loop(cond, body, (carry, 0))
+        return q
+
+    if init_positions is None:
+        init_keys = jax.random.split(k_init, num_chains)
+        q0 = jax.vmap(find_position)(init_keys)
+    else:
+        q0 = jnp.asarray(init_positions, dtype)
+
+    def broadcast_chains(tree):
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (num_chains,) + jnp.shape(x)), tree)
+
+    transform = broadcast_chains(strategy.make_transform(dim, dtype))
+    pt = jax.vmap(partial(init_point_from_q, logp_grad_fn=model.logp_and_grad)
+                  )(q0, transform)
+
+    state = ChainState(
+        pt=pt,
+        transform=transform,
+        diag_adapt=broadcast_chains(mm.new_diag_adapt_state(dim, dtype)),
+        step=broadcast_chains(
+            ss.new_step_size_state(config.step_size.initial_step, dtype)),
+        keys=chain_keys,
+        draw_idx=jnp.zeros((), jnp.int32),
+        extra=strategy.init_extra(dim, num_tune, dtype, num_chains),
+    )
+
+    # Mass-matrix init from the first gradient, then the step-size search.
+    state = strategy.init_mass_matrix(state)
+    # Resync caches after transform change.
+    pt = jax.vmap(partial(init_point_from_q, logp_grad_fn=model.logp_and_grad)
+                  )(state.pt.q, state.transform)
+    state = state._replace(pt=pt)
+
+    search_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(state.keys)
+    found = jax.vmap(
+        partial(ss.init_search, logp_grad_fn=model.logp_and_grad,
+                settings=config.step_size, kind=config.nuts.kind)
+    )(search_keys, state.pt.q, state.transform)
+    step = jax.vmap(ss.reset_from_found_step)(state.step, found)
+    return state._replace(step=step)

@@ -1,0 +1,397 @@
+"""Iterative No-U-Turn trajectory builder.
+
+TPU-native reformulation of the recursive doubling tree in nuts-rs
+``src/nuts.rs:60-388``.  The recursion becomes ONE ``lax.while_loop`` whose
+body performs a single leapfrog step plus O(maxdepth) masked bookkeeping, so
+the whole draw is a single fused device computation that can be vmapped over
+thousands of chains.
+
+Tree-structure recovery
+-----------------------
+Within the current doubling, leaves are numbered ``0..2^depth-1`` in creation
+order.  The implicit binary tree is recovered with trailing-zero counts
+(``tz``):
+
+* leaf ``i`` is the LEFT end (creation order) of every span at levels
+  ``j <= tz(i)`` (with ``tz(0) := maxdepth``).  We store its (z, v, idx) in
+  the *left stack* at row ``min(tz(i), maxdepth)`` — a single row write —
+  and recover the left end of a completed span ``[s, s+2^j-1]`` from row
+  ``min(tz(s), maxdepth)``.
+* leaf ``i`` is the midpoint (last leaf of the first half) of exactly one
+  span, at level ``tz(i+1) + 1``; stored in the *mid stack* at that row.
+* when leaf ``i`` is added, spans at levels ``1..=tz(i+1)`` complete and
+  their U-turn checks run.
+
+U-turn check set (exact nuts-rs semantics, ``src/nuts.rs:148-161``): for a
+completed span at level ``j`` merging halves A (older) and B (newer), check
+(A.first, B.last) always, and for ``j >= 2`` also (A.last, B.last) and
+(A.first, B.first).  Expressed in creation order these pairs are identical for
+forward and backward doublings because the turning criterion internally orders
+by trajectory index, so the flat loop is direction-agnostic.
+
+Draw selection: progressive multinomial within the new subtree (distribution-
+ally identical to nuts-rs's pairwise merges, ``src/nuts.rs:172-207``), then the
+biased main-tree acceptance ``p = exp(logw_subtree - logw_main)`` of
+``src/nuts.rs:191-202``.  When the top-level U-turn check fires, the merge
+STILL happens before termination (matching ``extend``'s unconditional
+``merge_into``); a turning detected *inside* an unfinished subtree discards it
+without merging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..dynamics.hamiltonian import (
+    KineticKind,
+    LogpGradFn,
+    initialize_trajectory,
+    is_turning,
+    leapfrog,
+)
+from ..dynamics.point import Point, point_where
+from ..transform.affine import AffineTransform
+from ..utils.bits import trailing_zeros
+
+
+@dataclasses.dataclass(frozen=True)
+class NutsOptions:
+    """Static draw options (nuts-rs ``src/nuts.rs:257-279``)."""
+
+    maxdepth: int = 10
+    mindepth: int = 0
+    check_turning: bool = True
+    max_energy_error: float = 1000.0
+    extra_doublings: int = 0
+    target_integration_time: Optional[float] = None
+    kind: KineticKind = KineticKind.EUCLIDEAN
+    store_divergences: bool = False
+
+
+class DivergenceInfo(NamedTuple):
+    """Fixed-shape divergence forensics (nuts-rs ``src/dynamics/hamiltonian.rs:26-55``)."""
+
+    start_location: jax.Array  # [d]
+    start_gradient: jax.Array  # [d]
+    end_location: jax.Array    # [d]
+    energy_error: jax.Array    # []
+    start_idx: jax.Array       # [] i32
+    end_idx: jax.Array         # [] i32
+
+
+class NutsInfo(NamedTuple):
+    """Per-draw diagnostics: SampleInfo + collector outputs.
+
+    Replaces the reference's ``Collector`` callback plumbing
+    (``src/nuts.rs:31-42``, ``src/stepsize/dual_avg.rs:112-166``,
+    ``src/transform/adapt/diagonal.rs:57-84``): statistics are accumulated
+    in-register during the device loop and returned as part of the result.
+    """
+
+    depth: jax.Array             # [] i32
+    reached_maxdepth: jax.Array  # [] bool
+    diverging: jax.Array         # [] bool
+    turning: jax.Array           # [] bool
+    n_steps: jax.Array           # [] i32 number of leapfrogs (incl. divergent)
+    sum_accept: jax.Array        # [] sum of per-leapfrog accept probs
+    sum_accept_sym: jax.Array    # [] sum of symmetric accept probs
+    max_energy_error: jax.Array  # [] signed, -inf after a divergence
+    energy: jax.Array            # [] energy of the selected draw
+    energy_error: jax.Array      # [] draw energy - initial energy
+    initial_energy: jax.Array    # []
+    idx_in_trajectory: jax.Array  # [] i32 of the selected draw
+    is_good_for_adapt: jax.Array  # [] bool (DrawGradCollector.is_good)
+    divergence: DivergenceInfo
+
+
+class _Carry(NamedTuple):
+    key: jax.Array
+    depth: jax.Array          # i32 current main-tree depth
+    leaf: jax.Array           # i32 leaf index within current subtree
+    direction: jax.Array      # i32 +-1
+    check_this: jax.Array     # bool: turning checks active for this doubling
+    p_minus: Point
+    p_plus: Point
+    p_edge: Point             # moving end of the current subtree
+    draw_main: Point
+    logw_main: jax.Array
+    draw_sub: Point
+    logw_sub: jax.Array
+    left_z: jax.Array         # [D+1, d]
+    left_v: jax.Array
+    left_idx: jax.Array       # [D+1] i32
+    mid_z: jax.Array
+    mid_v: jax.Array
+    mid_idx: jax.Array
+    done: jax.Array
+    diverging: jax.Array
+    turning: jax.Array
+    extra_mode: jax.Array
+    extras_left: jax.Array
+    n_steps: jax.Array
+    sum_accept: jax.Array
+    sum_accept_sym: jax.Array
+    max_energy_error: jax.Array
+    div_info: DivergenceInfo
+
+
+def _empty_div_info(dim, dtype):
+    nan = jnp.full(dim, jnp.nan, dtype)
+    return DivergenceInfo(
+        start_location=nan,
+        start_gradient=nan,
+        end_location=nan,
+        energy_error=jnp.asarray(jnp.nan, dtype),
+        start_idx=jnp.zeros((), jnp.int32),
+        end_idx=jnp.zeros((), jnp.int32),
+    )
+
+
+def nuts_draw(
+    key: jax.Array,
+    init_pt: Point,
+    transform: AffineTransform,
+    step_size: jax.Array,
+    logp_grad_fn: LogpGradFn,
+    opts: NutsOptions,
+) -> tuple[Point, NutsInfo]:
+    """Run one NUTS draw from ``init_pt`` (single chain; vmap for batches).
+
+    Mirrors ``nuts::draw`` (nuts-rs ``src/nuts.rs:281-388``): momentum refresh,
+    repeated doubling until maxdepth / U-turn / divergence, and collector
+    bookkeeping, all in one ``lax.while_loop``.
+    """
+    D = opts.maxdepth
+    dim = init_pt.q.shape[-1]
+    dtype = init_pt.q.dtype
+
+    key, key_mom = jax.random.split(key)
+    pt0 = initialize_trajectory(key_mom, init_pt, transform, opts.kind)
+    initial_energy = pt0.energy
+
+    # target_integration_time -> dynamic (mindepth, maxdepth); nuts.rs:300-320.
+    if opts.target_integration_time is not None:
+        max_steps = jnp.ceil(opts.target_integration_time / step_size)
+        log2_steps = jnp.log2(jnp.maximum(max_steps, 1.0))
+        mindepth_dyn = jnp.maximum(
+            jnp.floor(log2_steps).astype(jnp.int32), jnp.int32(opts.mindepth))
+        maxdepth_dyn = jnp.minimum(
+            jnp.maximum(jnp.ceil(log2_steps).astype(jnp.int32), mindepth_dyn),
+            jnp.int32(D))
+    else:
+        mindepth_dyn = jnp.int32(opts.mindepth)
+        maxdepth_dyn = jnp.int32(D)
+
+    def fresh_stacks():
+        return (
+            jnp.zeros((D + 1, dim), dtype), jnp.zeros((D + 1, dim), dtype),
+            jnp.zeros(D + 1, jnp.int32),
+            jnp.zeros((D + 1, dim), dtype), jnp.zeros((D + 1, dim), dtype),
+            jnp.zeros(D + 1, jnp.int32),
+        )
+
+    key, key_dir = jax.random.split(key)
+    dir0 = jnp.where(jax.random.bernoulli(key_dir), jnp.int32(1), jnp.int32(-1))
+    lz, lv, li, mz, mv, mi = fresh_stacks()
+
+    carry = _Carry(
+        key=key,
+        depth=jnp.int32(0),
+        leaf=jnp.int32(0),
+        direction=dir0,
+        check_this=jnp.asarray(opts.check_turning) & (jnp.int32(0) >= mindepth_dyn),
+        p_minus=pt0, p_plus=pt0, p_edge=pt0,
+        draw_main=pt0, logw_main=jnp.zeros((), dtype),
+        draw_sub=pt0, logw_sub=jnp.full((), -jnp.inf, dtype),
+        left_z=lz, left_v=lv, left_idx=li,
+        mid_z=mz, mid_v=mv, mid_idx=mi,
+        done=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+        turning=jnp.asarray(False),
+        extra_mode=jnp.asarray(False),
+        extras_left=jnp.int32(opts.extra_doublings),
+        n_steps=jnp.int32(0),
+        sum_accept=jnp.zeros((), dtype),
+        sum_accept_sym=jnp.zeros((), dtype),
+        max_energy_error=jnp.zeros((), dtype),
+        div_info=_empty_div_info(dim, dtype),
+    )
+
+    def cond(c: _Carry):
+        return ~c.done & (c.extra_mode | (c.depth < maxdepth_dyn))
+
+    def body(c: _Carry) -> _Carry:
+        key, k_sel, k_acc, k_dir = jax.random.split(c.key, 4)
+
+        res = leapfrog(
+            c.p_edge, c.direction, step_size, transform, logp_grad_fn,
+            opts.kind, initial_energy, opts.max_energy_error,
+        )
+        new_pt, diverged = res.point, res.diverging
+
+        # --- acceptance statistics (AcceptanceRateCollector, dual_avg.rs:130-158) ---
+        diff = initial_energy - new_pt.energy
+        acc = jnp.exp(jnp.minimum(diff, 0.0))
+        acc_sym = 2.0 * acc / (1.0 + jnp.exp(diff))
+        sum_accept = c.sum_accept + jnp.where(diverged, 0.0, acc)
+        sum_accept_sym = c.sum_accept_sym + jnp.where(diverged, 0.0, acc_sym)
+        n_steps = c.n_steps + 1
+        max_err = jnp.where(
+            diverged,
+            -jnp.inf,
+            jnp.where(jnp.abs(diff) > jnp.abs(c.max_energy_error), diff,
+                      c.max_energy_error),
+        )
+
+        div_info = DivergenceInfo(
+            start_location=c.p_edge.q,
+            start_gradient=c.p_edge.g,
+            end_location=new_pt.q,
+            energy_error=res.energy_error,
+            start_idx=c.p_edge.idx,
+            end_idx=new_pt.idx,
+        )
+        div_info = jax.tree.map(
+            lambda new, old: jnp.where(diverged, new, old), div_info, c.div_info)
+
+        # --- progressive multinomial within the subtree ---
+        logw_leaf = -res.energy_error
+        is_first = c.leaf == 0
+        logw_sub = jnp.where(is_first, logw_leaf,
+                             jnp.logaddexp(c.logw_sub, logw_leaf))
+        u = jax.random.uniform(k_sel, dtype=dtype)
+        take_leaf = is_first | (jnp.log(u) < logw_leaf - logw_sub)
+        draw_sub = point_where(take_leaf, new_pt, c.draw_sub)
+
+        # --- stack writes ---
+        tz_leaf = trailing_zeros(c.leaf, cap=D)
+        row_left = jnp.minimum(tz_leaf, D)
+        left_z = c.left_z.at[row_left].set(new_pt.z)
+        left_v = c.left_v.at[row_left].set(new_pt.v)
+        left_idx = c.left_idx.at[row_left].set(new_pt.idx)
+        tz_next = trailing_zeros(c.leaf + 1, cap=D)
+        row_mid = jnp.minimum(tz_next + 1, D)  # level this leaf is midpoint of
+        mid_z = c.mid_z.at[row_mid].set(new_pt.z)
+        mid_v = c.mid_v.at[row_mid].set(new_pt.v)
+        mid_idx = c.mid_idx.at[row_mid].set(new_pt.idx)
+
+        # --- internal U-turn checks for completed spans (levels 1..tz(leaf+1)) ---
+        def check_level(j, turning_acc):
+            active = j <= tz_next
+            s = c.leaf + 1 - (jnp.int32(1) << j)           # span left end
+            row_s = jnp.minimum(trailing_zeros(s, cap=D), D)
+            zl, vl, il = left_z[row_s], left_v[row_s], left_idx[row_s]
+            t1 = is_turning(zl, vl, il, new_pt.z, new_pt.v, new_pt.idx)
+            zm, vm, im = mid_z[j], mid_v[j], mid_idx[j]
+            t2 = is_turning(zm, vm, im, new_pt.z, new_pt.v, new_pt.idx)
+            s2 = c.leaf + 1 - (jnp.int32(1) << (j - 1))    # B's left end
+            row_s2 = jnp.minimum(trailing_zeros(s2, cap=D), D)
+            t3 = is_turning(zl, vl, il, left_z[row_s2], left_v[row_s2],
+                            left_idx[row_s2])
+            t = t1 | ((j >= 2) & (t2 | t3))
+            return turning_acc | (active & t)
+
+        turning_int = jax.lax.fori_loop(
+            1, D + 1, check_level, jnp.asarray(False)) & c.check_this
+
+        subtree_complete = (c.leaf + 1) == (jnp.int32(1) << c.depth)
+
+        # --- top-level merge checks (nuts.rs:143-161 at the outermost call) ---
+        b0_z, b0_v, b0_idx = left_z[D], left_v[D], left_idx[D]
+        far_end = point_where(c.direction > 0, c.p_minus, c.p_plus)
+        near_end = point_where(c.direction > 0, c.p_plus, c.p_minus)
+        t_outer = is_turning(far_end.z, far_end.v, far_end.idx,
+                             new_pt.z, new_pt.v, new_pt.idx)
+        t_near = is_turning(near_end.z, near_end.v, near_end.idx,
+                            new_pt.z, new_pt.v, new_pt.idx)
+        t_b0 = is_turning(far_end.z, far_end.v, far_end.idx, b0_z, b0_v, b0_idx)
+        turning_top = c.check_this & (
+            t_outer | ((c.depth > 0) & (t_near | t_b0)))
+
+        # --- biased progressive sampling at the top level (nuts.rs:191-202) ---
+        u2 = jax.random.uniform(k_acc, dtype=dtype)
+        take_sub = (logw_sub >= c.logw_main) | (
+            jnp.log(u2) < logw_sub - c.logw_main)
+
+        do_merge = subtree_complete & ~diverged & ~turning_int
+        merge_take = do_merge & take_sub
+        draw_main = point_where(merge_take, draw_sub, c.draw_main)
+        logw_main = jnp.where(do_merge,
+                              jnp.logaddexp(c.logw_main, logw_sub), c.logw_main)
+        p_plus = point_where(do_merge & (c.direction > 0), new_pt, c.p_plus)
+        p_minus = point_where(do_merge & (c.direction < 0), new_pt, c.p_minus)
+
+        depth = c.depth + jnp.asarray(do_merge, jnp.int32)
+        # Extra doublings (nuts.rs:350-370): after ANY top-level Turning result
+        # — whether from the across-trees check (merged) or from a turning
+        # inside the unfinished subtree (discarded, no merge) — keep doubling
+        # with checks off for opts.extra_doublings rounds.
+        turned_now = turning_int | (do_merge & turning_top)
+        enter_extra = turned_now & (jnp.int32(opts.extra_doublings) > 0)
+        extras_left = jnp.where(
+            c.extra_mode & do_merge, c.extras_left - 1, c.extras_left)
+        extra_mode = c.extra_mode | enter_extra
+
+        done = (c.done | diverged
+                | (turned_now & ~enter_extra)
+                | (c.extra_mode & do_merge & (extras_left <= 0)))
+        turning = c.turning | turned_now
+        diverging = c.diverging | diverged
+
+        # --- next-iteration bookkeeping ---
+        new_doubling = do_merge | turning_int
+        leaf = jnp.where(new_doubling, jnp.int32(0), c.leaf + 1)
+        new_dir = jnp.where(jax.random.bernoulli(k_dir),
+                            jnp.int32(1), jnp.int32(-1))
+        direction = jnp.where(new_doubling, new_dir, c.direction)
+        check_next = (jnp.asarray(opts.check_turning)
+                      & (depth >= mindepth_dyn)
+                      & ~extra_mode)
+        check_this = jnp.where(new_doubling, check_next, c.check_this)
+        # After a completed doubling the next leapfrog starts from the
+        # endpoint in the freshly sampled direction.
+        edge_after_merge = point_where(new_dir > 0, p_plus, p_minus)
+        p_edge = point_where(new_doubling, edge_after_merge, new_pt)
+
+        return _Carry(
+            key=key, depth=depth, leaf=leaf, direction=direction,
+            check_this=check_this,
+            p_minus=p_minus, p_plus=p_plus, p_edge=p_edge,
+            draw_main=draw_main, logw_main=logw_main,
+            draw_sub=draw_sub, logw_sub=logw_sub,
+            left_z=left_z, left_v=left_v, left_idx=left_idx,
+            mid_z=mid_z, mid_v=mid_v, mid_idx=mid_idx,
+            done=done, diverging=diverging, turning=turning,
+            extra_mode=extra_mode, extras_left=extras_left,
+            n_steps=n_steps, sum_accept=sum_accept,
+            sum_accept_sym=sum_accept_sym, max_energy_error=max_err,
+            div_info=div_info,
+        )
+
+    final = jax.lax.while_loop(cond, body, carry)
+
+    reached_max = (~final.done) & (final.depth >= maxdepth_dyn)
+    draw = final.draw_main
+    info = NutsInfo(
+        depth=final.depth,
+        reached_maxdepth=reached_max,
+        diverging=final.diverging,
+        turning=final.turning,
+        n_steps=final.n_steps,
+        sum_accept=final.sum_accept,
+        sum_accept_sym=final.sum_accept_sym,
+        max_energy_error=final.max_energy_error,
+        energy=draw.energy,
+        energy_error=draw.energy - initial_energy,
+        initial_energy=initial_energy,
+        idx_in_trajectory=draw.idx,
+        # DrawGradCollector.is_good (transform/adapt/diagonal.rs:73-84)
+        is_good_for_adapt=jnp.where(
+            final.diverging, jnp.abs(draw.idx) > 4, draw.idx != 0),
+        divergence=final.div_info,
+    )
+    return draw, info

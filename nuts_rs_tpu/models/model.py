@@ -1,0 +1,75 @@
+"""User-facing model contract.
+
+TPU-native replacement for the reference's ``CpuLogpFunc``/``Model`` traits
+(nuts-rs ``src/math/cpu_math.rs:885-970``, ``src/model.rs:18-37``).
+
+Instead of a stateful object with an explicit gradient output buffer, a model
+here is a pure, JAX-traceable scalar log-density function.  Gradients come from
+``jax.value_and_grad``; recoverable logp errors (nuts-rs ``LogpError``,
+``src/math/math.rs:9-13``) are represented by NaN/-inf values which the sampler
+treats as divergences — there are no exceptions on the device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Model:
+    """A target distribution defined by an unnormalized log density.
+
+    Parameters
+    ----------
+    logp_fn:
+        ``logp_fn(q: f[dim]) -> f[]`` — JAX-traceable unnormalized log density
+        over the unconstrained parameter vector.
+    dim:
+        Number of unconstrained parameters.
+    expand_fn:
+        Optional ``expand_fn(key, q) -> dict[str, array]`` computing
+        posterior-expansion / deterministic quantities stored in the trace
+        (mirror of ``Math::expand_vector``, nuts-rs ``src/math/math.rs:63``).
+    init_position_fn:
+        Optional ``init_position_fn(key) -> f[dim]``; defaults to U(-2, 2)
+        per coordinate (the nutpie convention).
+    dims / coords:
+        xarray-style dimension names / coordinate arrays for expanded
+        variables (mirror of ``HasDims``, nuts-storable ``src/lib.rs:94-99``).
+    """
+
+    logp_fn: Callable[[jax.Array], jax.Array]
+    dim: int
+    expand_fn: Optional[Callable[[jax.Array, jax.Array], Mapping[str, jax.Array]]] = None
+    init_position_fn: Optional[Callable[[jax.Array], jax.Array]] = None
+    dims: Mapping[str, Any] = dataclasses.field(default_factory=dict)
+    coords: Mapping[str, Any] = dataclasses.field(default_factory=dict)
+    name: str = "model"
+
+    def logp_and_grad(self, q: jax.Array):
+        """Return ``(logp, grad)`` at ``q``.
+
+        Mirrors ``Math::logp_array`` (nuts-rs ``src/math/math.rs:46``): one
+        fused value-and-gradient evaluation; this is the hot call of the whole
+        sampler (see SURVEY.md §3.2).
+        """
+        logp, grad = jax.value_and_grad(self.logp_fn)(q)
+        return logp, grad
+
+    def init_position(self, key: jax.Array, dtype=None) -> jax.Array:
+        if self.init_position_fn is not None:
+            q = self.init_position_fn(key)
+        else:
+            q = jax.random.uniform(key, (self.dim,), minval=-2.0, maxval=2.0)
+        if dtype is not None:
+            q = q.astype(dtype)
+        return q
+
+    def expand(self, key: jax.Array, q: jax.Array) -> Mapping[str, jax.Array]:
+        if self.expand_fn is None:
+            return {}
+        return dict(self.expand_fn(key, q))

@@ -1,0 +1,313 @@
+"""High-level sampler entry points: settings presets and the chunked runner.
+
+TPU-native counterpart of nuts-rs ``src/sampler.rs``.  Where the reference
+spawns one rayon thread per chain (``src/sampler.rs:1286-1326``), here all
+chains run as one batched device computation: the chains axis is vmapped
+within a chip and (M5) sharded over a device mesh.  The host loop only
+launches scan *chunks* and streams finished chunks to storage, mirroring the
+reference's progressive trace writes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .adapt.schedule import AdaptSchedule, AdaptScheduleOptions, build_schedule
+from .adapt.step_size import StepSizeMethod, StepSizeSettings
+from .chain import (
+    ChainConfig,
+    ChainState,
+    DiagStrategy,
+    init_chain_state,
+    make_draw_step,
+)
+from .dynamics.hamiltonian import KineticKind
+from .kernels.nuts import NutsOptions
+from .models.model import Model
+from .storage.core import StorageConfig
+from .storage.memory import MemoryConfig, Trace
+
+
+@dataclasses.dataclass(frozen=True)
+class NutsSettings:
+    """Generic NUTS settings (nuts-rs ``NutsSettings``, src/sampler.rs:199-239)."""
+
+    num_tune: int = 400
+    num_draws: int = 1000
+    maxdepth: int = 10
+    mindepth: int = 0
+    num_chains: int = 6
+    seed: int = 0
+    max_energy_error: float = 1000.0
+    check_turning: bool = True
+    target_integration_time: Optional[float] = None
+    extra_doublings: int = 0
+    store_gradient: bool = False
+    store_unconstrained: bool = False
+    store_transformed: bool = False
+    store_divergences: bool = False
+    store_mass_matrix: bool = False
+    kinetic_energy: KineticKind = KineticKind.EUCLIDEAN
+    adapt: AdaptScheduleOptions = AdaptScheduleOptions()
+    step_size: StepSizeSettings = StepSizeSettings()
+    use_grad_based_estimate: bool = True
+    mass_matrix: str = "diag"  # "diag" | "low_rank" | "flow"
+
+    def nuts_options(self) -> NutsOptions:
+        return NutsOptions(
+            maxdepth=self.maxdepth,
+            mindepth=self.mindepth,
+            check_turning=self.check_turning,
+            max_energy_error=self.max_energy_error,
+            extra_doublings=self.extra_doublings,
+            target_integration_time=self.target_integration_time,
+            kind=self.kinetic_energy,
+            store_divergences=self.store_divergences,
+        )
+
+    def chain_config(self) -> ChainConfig:
+        return ChainConfig(
+            nuts=self.nuts_options(),
+            step_size=self.step_size,
+            use_grad_based_estimate=self.use_grad_based_estimate,
+            store_gradient=self.store_gradient,
+            store_unconstrained=self.store_unconstrained,
+            store_transformed=self.store_transformed,
+            store_divergences=self.store_divergences,
+            store_mass_matrix=self.store_mass_matrix,
+        )
+
+    @property
+    def sampler_name(self) -> str:
+        return "nuts"
+
+    @property
+    def adaptation_name(self) -> str:
+        return self.mass_matrix
+
+
+def DiagNutsSettings(**kw) -> NutsSettings:
+    """Defaults of nuts-rs ``DiagNutsSettings`` (src/sampler.rs:630-633)."""
+    return NutsSettings(**kw)
+
+
+def LowRankNutsSettings(**kw) -> NutsSettings:
+    """Defaults of nuts-rs ``LowRankNutsSettings`` (src/sampler.rs:635-641)."""
+    kw.setdefault("num_tune", 800)
+    kw.setdefault("mass_matrix", "low_rank")
+    kw.setdefault(
+        "adapt", AdaptScheduleOptions(mass_matrix_update_freq=20))
+    return NutsSettings(**kw)
+
+
+@dataclasses.dataclass
+class ChainProgress:
+    """Mirror of nuts-rs ``ChainProgress`` (src/sampler.rs:1009-1051)."""
+
+    finished_draws: int = 0
+    total_draws: int = 0
+    divergences: int = 0
+    tuning: bool = True
+    started: bool = False
+    latest_num_steps: int = 0
+    total_num_steps: int = 0
+    step_size: float = 0.0
+    runtime: float = 0.0
+    divergent_draws: list = dataclasses.field(default_factory=list)
+
+
+def _strategy_for(settings: NutsSettings, config: ChainConfig):
+    if settings.mass_matrix == "diag":
+        return DiagStrategy(config)
+    if settings.mass_matrix == "low_rank":
+        from .adapt.low_rank import LowRankStrategy
+
+        return LowRankStrategy(config, settings)
+    raise NotImplementedError(f"mass matrix kind {settings.mass_matrix!r}")
+
+
+def _schedule_chunk(sched: AdaptSchedule, lo: int, hi: int) -> Mapping[str, jax.Array]:
+    return {
+        "is_tuning": jnp.asarray(sched.is_tuning[lo:hi]),
+        "update_estimators": jnp.asarray(sched.update_estimators[lo:hi]),
+        "do_switch": jnp.asarray(sched.do_switch[lo:hi]),
+        "do_update": jnp.asarray(sched.do_update[lo:hi]),
+        "use_late_estimator": jnp.asarray(sched.use_late_estimator[lo:hi]),
+        "reinit_step_size": jnp.asarray(sched.reinit_step_size[lo:hi]),
+        "use_best_guess": jnp.asarray(sched.use_best_guess[lo:hi]),
+        "skip_stepsize_update": jnp.asarray(sched.skip_stepsize_update[lo:hi]),
+        "advance_da": jnp.asarray(sched.advance_da[lo:hi]),
+    }
+
+
+class Sampler:
+    """Chunked multi-chain sampler (parallel controller of src/sampler.rs:1254).
+
+    Chains run lock-step on device; ``pause``/``resume`` and progressive
+    ``inspect``/``flush`` operate at chunk granularity on the host.
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        settings: NutsSettings,
+        storage: Optional[StorageConfig] = None,
+        dtype=None,
+        chunk_size: int = 128,
+        init_positions=None,
+        progress_callback=None,
+    ):
+        self.model = model
+        self.settings = settings
+        self.dtype = dtype or (
+            jnp.float64
+            if jax.config.read("jax_enable_x64")
+            else jnp.float32
+        )
+        self.chunk_size = chunk_size
+        self.progress_callback = progress_callback
+
+        config = settings.chain_config()
+        self.config = config
+        self.strategy = _strategy_for(settings, config)
+        self.schedule = build_schedule(settings.num_tune, settings.num_draws,
+                                       settings.adapt)
+        storage = storage or MemoryConfig()
+        self.trace = storage.new_trace(settings, model, settings.num_chains)
+        self.progress = [
+            ChainProgress(total_draws=settings.num_tune + settings.num_draws)
+            for _ in range(settings.num_chains)
+        ]
+
+        key = jax.random.key(settings.seed)
+        state = init_chain_state(
+            key, model, self.strategy, config, settings.num_chains,
+            settings.num_tune, self.dtype, init_positions=init_positions)
+        # Deep-copy so no two leaves alias one buffer: the chunk runner donates
+        # its input state, and XLA rejects donating the same buffer twice.
+        self.state: ChainState = jax.tree.map(
+            lambda x: jnp.array(x, copy=True), state)
+
+        draw_step = make_draw_step(model, self.strategy, config)
+
+        def run_chunk(state, flags):
+            return jax.lax.scan(draw_step, state, flags)
+
+        self._run_chunk = jax.jit(run_chunk, donate_argnums=0)
+
+        if model.expand_fn is not None:
+            def expand_chunk(keys, qs):
+                return jax.vmap(jax.vmap(model.expand))(keys, qs)
+
+            self._expand_chunk = jax.jit(expand_chunk)
+        else:
+            self._expand_chunk = None
+
+        self._next_draw = 0
+        self._total = settings.num_tune + settings.num_draws
+        self._expand_key = jax.random.key(settings.seed + 1)
+
+    @property
+    def finished(self) -> bool:
+        return self._next_draw >= self._total
+
+    def run_next_chunk(self) -> None:
+        lo = self._next_draw
+        hi = min(lo + self.chunk_size, self._total)
+        flags = _schedule_chunk(self.schedule, lo, hi)
+        t0 = time.monotonic()
+        self.state, stats = self._run_chunk(self.state, flags)
+
+        # Device -> host; [k, C, ...] -> [C, k, ...]
+        stats = jax.tree.map(lambda x: np.moveaxis(np.asarray(x), 0, 1), stats)
+        elapsed = time.monotonic() - t0
+
+        expanded = {}
+        if self._expand_chunk is not None:
+            k = hi - lo
+            c = self.settings.num_chains
+            keys = jax.random.split(
+                jax.random.fold_in(self._expand_key, lo), (c, k))
+            exp = self._expand_chunk(keys, stats["position"])
+            expanded = {name: np.asarray(v) for name, v in exp.items()}
+
+        tuning = self.schedule.is_tuning[lo:hi]
+        self.trace.record_chunk(lo, stats, expanded, tuning)
+        self._update_progress(lo, stats, tuning, elapsed)
+        self._next_draw = hi
+        if self.progress_callback is not None:
+            self.progress_callback(self.progress)
+
+    def _update_progress(self, lo, stats, tuning, elapsed):
+        k = stats["diverging"].shape[1]
+        for c, prog in enumerate(self.progress):
+            prog.started = True
+            div_mask = stats["diverging"][c] & ~tuning
+            prog.divergences += int(div_mask.sum())
+            prog.divergent_draws.extend((lo + np.nonzero(div_mask)[0]).tolist())
+            prog.finished_draws += k
+            prog.tuning = bool(tuning[-1])
+            prog.latest_num_steps = int(stats["n_steps"][c, -1])
+            prog.total_num_steps += int(stats["n_steps"][c].sum())
+            prog.step_size = float(stats["step_size"][c, -1])
+            prog.runtime += elapsed
+
+    def run(self) -> Trace:
+        while not self.finished:
+            self.run_next_chunk()
+        return self.trace.finalize()
+
+    def inspect(self):
+        return self.trace.inspect()
+
+
+def sample(
+    model: Model,
+    settings: Optional[NutsSettings] = None,
+    *,
+    seed: Optional[int] = None,
+    storage: Optional[StorageConfig] = None,
+    dtype=None,
+    chunk_size: int = 128,
+    init_positions=None,
+    progress_callback=None,
+) -> Trace:
+    """Sample from ``model`` — the TPU analog of ``Sampler::new`` + ``wait``.
+
+    Returns an in-memory :class:`Trace` unless a different storage backend is
+    given.
+    """
+    settings = settings or NutsSettings()
+    if seed is not None:
+        settings = dataclasses.replace(settings, seed=seed)
+    sampler = Sampler(
+        model, settings, storage=storage, dtype=dtype, chunk_size=chunk_size,
+        init_positions=init_positions, progress_callback=progress_callback)
+    return sampler.run()
+
+
+def sample_sequentially(model, settings, start, draws, chain=0, seed=0):
+    """Single-chain iterator API (nuts-rs ``sample_sequentially``, sampler.rs:994).
+
+    Yields ``(position, progress_dict)`` per draw.  Provided for parity; the
+    batched :func:`sample` is the fast path.
+    """
+    settings = dataclasses.replace(settings, num_chains=1, num_draws=draws,
+                                   seed=seed)
+    sampler = Sampler(model, settings, chunk_size=min(64, draws),
+                      init_positions=np.asarray(start)[None, :])
+    trace = sampler.run()
+    draws_arr = np.concatenate(
+        [trace.warmup_posterior["position"], trace.posterior["position"]], axis=1)
+    stats_div = np.concatenate(
+        [trace.warmup_sample_stats["diverging"], trace.sample_stats["diverging"]],
+        axis=1)
+    for i in range(draws_arr.shape[1]):
+        yield draws_arr[0, i], {"diverging": bool(stats_div[0, i]), "draw": i}

@@ -1,0 +1,93 @@
+"""End-to-end sampler tests against analytic targets.
+
+Mirrors the reference's smoke and posterior-moment oracles:
+* NUTS reaches mean 30 within 5 after 200 draws (adapt_strategy.rs:352-435)
+* BASELINE config 1: 10-d N(3, 1), posterior moments within MC error
+  (README.md:40-87, tests/sample_normal.rs)
+"""
+
+import numpy as np
+import pytest
+
+from nuts_rs_tpu import DiagNutsSettings, sample
+from nuts_rs_tpu.models import gaussian
+
+
+def test_smoke_reaches_mean_30():
+    model = gaussian.normal_logp(10, mu=30.0)
+    settings = DiagNutsSettings(num_tune=100, num_draws=100, num_chains=1,
+                                seed=42)
+    trace = sample(model, settings, chunk_size=64)
+    last = trace.posterior["position"][0, -1]
+    assert np.all(np.abs(last - 30.0) < 5.0), last
+    assert not trace.sample_stats["diverging"].any()
+
+
+def test_posterior_moments_normal():
+    model = gaussian.normal_logp(10, mu=3.0)
+    settings = DiagNutsSettings(num_tune=400, num_draws=1000, num_chains=4,
+                                seed=1)
+    trace = sample(model, settings, chunk_size=200)
+    draws = trace.posterior["position"]  # [chain, draw, dim]
+    assert draws.shape == (4, 1000, 10)
+    mean = draws.mean(axis=(0, 1))
+    std = draws.std(axis=(0, 1))
+    # MC error of the mean with ~4000 (correlated) draws is < 0.1
+    np.testing.assert_allclose(mean, 3.0, atol=0.15)
+    np.testing.assert_allclose(std, 1.0, atol=0.15)
+    # post-warmup step size should have adapted to a sensible range
+    assert 0.3 < trace.sample_stats["step_size"].mean() < 2.5
+    # acceptance should be near the 0.8 target
+    acc = trace.sample_stats["mean_tree_accept"].mean()
+    assert 0.6 < acc < 0.99
+
+
+def test_stats_schema():
+    model = gaussian.normal_logp(5, mu=0.0)
+    settings = DiagNutsSettings(
+        num_tune=60, num_draws=40, num_chains=2, seed=3,
+        store_gradient=True, store_unconstrained=True, store_divergences=True)
+    trace = sample(model, settings, chunk_size=50)
+    ss = trace.sample_stats
+    for name in ["depth", "maxdepth_reached", "diverging", "n_steps",
+                 "step_size", "step_size_bar", "mean_tree_accept",
+                 "mean_tree_accept_sym", "max_energy_error", "logp", "energy",
+                 "energy_error", "index_in_trajectory", "fisher_distance",
+                 "transformation_index", "tuning", "gradient",
+                 "unconstrained_draw", "divergence_start"]:
+        assert name in ss, name
+    assert ss["depth"].shape == (2, 40)
+    assert ss["gradient"].shape == (2, 40, 5)
+    assert not ss["tuning"].any()
+    assert trace.warmup_sample_stats["tuning"].all()
+    # transformation updates were compacted into events
+    assert len(trace.transformation_updates) == 2
+    assert len(trace.transformation_updates[0]["draw"]) > 1
+
+
+def test_expand_fn():
+    model = gaussian.eight_schools()
+    settings = DiagNutsSettings(num_tune=200, num_draws=100, num_chains=2,
+                                seed=5)
+    trace = sample(model, settings, chunk_size=100)
+    assert trace.posterior["theta"].shape == (2, 100, 8)
+    assert trace.posterior["mu"].shape == (2, 100)
+    assert np.isfinite(trace.posterior["tau"]).all()
+
+
+def test_seed_reproducibility():
+    model = gaussian.normal_logp(4, mu=1.0)
+    settings = DiagNutsSettings(num_tune=50, num_draws=50, num_chains=2, seed=7)
+    t1 = sample(model, settings, chunk_size=25)
+    t2 = sample(model, settings, chunk_size=100)  # chunking must not matter
+    np.testing.assert_array_equal(t1.posterior["position"],
+                                  t2.posterior["position"])
+
+
+def test_chains_differ():
+    model = gaussian.normal_logp(4, mu=1.0)
+    settings = DiagNutsSettings(num_tune=50, num_draws=50, num_chains=3, seed=7)
+    t = sample(model, settings)
+    d = t.posterior["position"]
+    assert not np.allclose(d[0], d[1])
+    assert not np.allclose(d[1], d[2])
