@@ -17,10 +17,17 @@ from .adapt.step_size import (
 from .dynamics.hamiltonian import KineticKind
 from .kernels.nuts import NutsOptions
 from .models.model import Model
+from .adapt.flow import FlowAdaptSettings
+from .adapt.low_rank import LowRankSettings
 from .sampler import (
     ChainProgress,
+    DiagMclmcSettings,
     DiagNutsSettings,
+    FlowNutsSettings,
+    LowRankMclmcSettings,
     LowRankNutsSettings,
+    MclmcSettings,
+    MclmcTrajectoryKind,
     NutsSettings,
     Sampler,
     sample,

@@ -1,0 +1,179 @@
+"""Flow (learned transform) adaptation strategy.
+
+Mirrors nuts-rs ``src/external_adapt_strategy.rs`` (``ExternalTransformAdaptation``):
+a step-size-only warmup with the transformation refit from collected draws —
+every 10 draws for the first 100, then every ``transform_update_freq`` — and a
+final ``step_size_window`` fraction of warmup that only tunes the step size.
+The reference's ``DrawCollector`` filter (finite position/gradient, energy
+error below ``transform_train_max_energy_error``) gates which draws enter the
+training window.
+
+The flow itself is a :class:`~nuts_rs_tpu.transform.ops.FlowSpec`
+(JAX-native replacement for the reference's FFI flow hooks); refits run as
+vmapped-over-chains Adam loops under a scalar ``lax.cond``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..transform.ops import FlowOps, FlowSpec, FlowTransform
+from .schedule import AdaptSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowAdaptSettings:
+    """nuts-rs ``FlowSettings`` (external_adapt_strategy.rs:17-40)."""
+
+    step_size_window: float = 0.07
+    transform_update_freq: int = 128
+    transform_train_max_energy_error: float = 20.0
+    # use_orbit_for_training (per-leapfrog collection) is not supported in the
+    # batched device design; per-draw collection (the reference default) is.
+    window_capacity: Optional[int] = None
+
+
+class FlowWindow(NamedTuple):
+    """Per-chain training window: all good draws so far (the reference's
+    DrawCollector accumulates across the whole warmup, chain.rs:79)."""
+
+    draws: jax.Array   # [cap, d]
+    grads: jax.Array   # [cap, d]
+    logps: jax.Array   # [cap]
+    count: jax.Array   # [] i32
+
+
+def new_flow_window(cap, dim, dtype) -> FlowWindow:
+    return FlowWindow(
+        draws=jnp.zeros((cap, dim), dtype),
+        grads=jnp.zeros((cap, dim), dtype),
+        logps=jnp.zeros(cap, dtype),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def flow_push(w: FlowWindow, q, g, logp, include) -> FlowWindow:
+    cap = w.draws.shape[0]
+    ok = include & (w.count < cap)
+    slot = jnp.minimum(w.count, cap - 1)
+    sel = jnp.asarray(ok, w.draws.dtype)
+    draws = jax.lax.dynamic_update_slice(
+        w.draws, (sel * q + (1 - sel) * w.draws[slot])[None, :],
+        (slot, jnp.int32(0)))
+    grads = jax.lax.dynamic_update_slice(
+        w.grads, (sel * g + (1 - sel) * w.grads[slot])[None, :],
+        (slot, jnp.int32(0)))
+    logps = w.logps.at[slot].set(jnp.where(ok, logp, w.logps[slot]))
+    return FlowWindow(draws=draws, grads=grads, logps=logps,
+                      count=w.count + jnp.asarray(ok, jnp.int32))
+
+
+def build_flow_schedule(num_tune: int, num_draws: int,
+                        opts: FlowAdaptSettings) -> AdaptSchedule:
+    """Per-draw flags replicating ``ExternalTransformAdaptation::adapt``
+    (external_adapt_strategy.rs:191-237) by draw index."""
+    total = num_tune + num_draws
+    final_window = int(num_tune * (1.0 - opts.step_size_window))
+
+    z = lambda: np.zeros(total, bool)
+    is_tuning, update_est, do_update = z(), z(), z()
+    use_late, use_best, advance = z(), z(), z()
+
+    for draw in range(total):
+        if draw >= num_tune:
+            use_best[draw] = True
+            continue
+        is_tuning[draw] = True
+        advance[draw] = True
+        update_est[draw] = True
+        if draw < final_window:
+            if draw < 100:
+                if draw > 0 and draw % 10 == 0:
+                    do_update[draw] = True
+            elif draw % opts.transform_update_freq == 0:
+                do_update[draw] = True
+        else:
+            use_late[draw] = True
+            use_best[draw] = draw == num_tune - 1
+
+    return AdaptSchedule(
+        is_tuning=is_tuning,
+        update_estimators=update_est,
+        do_switch=np.zeros(total, bool),
+        do_update=do_update,
+        use_late_estimator=use_late,
+        reinit_step_size=np.zeros(total, bool),
+        use_best_guess=use_best,
+        skip_stepsize_update=np.zeros(total, bool),
+        advance_da=advance,
+    )
+
+
+class FlowStrategy:
+    """Strategy protocol implementation for learned-flow transforms."""
+
+    def __init__(self, config, settings, spec: FlowSpec):
+        self.config = config
+        self.spec = spec
+        self.ops = FlowOps(spec)
+        self.flow_settings: FlowAdaptSettings = getattr(
+            settings, "flow", FlowAdaptSettings())
+        self._num_tune = getattr(settings, "num_tune", 1500)
+
+    def make_transform(self, dim, dtype):
+        # Placeholder identity-ish params; replaced in init_mass_matrix once
+        # the init position and gradient are known.
+        params = self.spec.init(jax.random.key(0), dim,
+                                jnp.zeros(dim, dtype), jnp.ones(dim, dtype))
+        return FlowTransform(params=params, id=jnp.asarray(-1, jnp.int32))
+
+    def init_extra(self, dim, num_tune, dtype, num_chains):
+        cap = self.flow_settings.window_capacity or num_tune
+        w = new_flow_window(cap, dim, dtype)
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (num_chains,) + x.shape), w)
+
+    def init_mass_matrix(self, state):
+        """init_transformation from the first position/gradient
+        (transformed_hamiltonian.rs:463-481)."""
+        dim = state.pt.q.shape[-1]
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(state.keys)
+        params = jax.vmap(
+            lambda k, q, g: self.spec.init(k, dim, q, g)
+        )(keys, state.pt.q, state.pt.g)
+        c = state.pt.q.shape[0]
+        transform = FlowTransform(
+            params=params, id=jnp.zeros(c, jnp.int32))
+        return state._replace(transform=transform)
+
+    def update_estimators(self, state, q, g, is_good, logp=None,
+                          energy_error=None):
+        # DrawCollector filter (external_adapt_strategy.rs:129-152).
+        err_ok = jnp.isfinite(energy_error) & (
+            energy_error <= self.flow_settings.transform_train_max_energy_error)
+        finite = (jnp.all(jnp.isfinite(q), axis=-1)
+                  & jnp.all(jnp.isfinite(g), axis=-1))
+        include = err_ok & finite
+        window = jax.vmap(flow_push)(state.extra, q, g, logp, include)
+        return state._replace(extra=window)
+
+    def switch(self, state):
+        return state
+
+    def adapt_update(self, state):
+        cap = state.extra.draws.shape[1]
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, 13))(state.keys)
+
+        def refit(key, params, w):
+            mask = jnp.arange(cap) < w.count
+            return self.spec.update(key, params, w.draws, w.grads, w.logps,
+                                    mask)
+
+        params = jax.vmap(refit)(keys, state.transform.params, state.extra)
+        transform = FlowTransform(params=params, id=state.transform.id + 1)
+        return state._replace(transform=transform)

@@ -187,6 +187,7 @@ def init_search(
     logp_grad_fn,
     settings: StepSizeSettings,
     kind: KineticKind,
+    ops=None,
 ) -> jax.Array:
     """Coarse doubling/halving search for a good initial step size.
 
@@ -199,20 +200,23 @@ def init_search(
     Returns the found step size.
     """
     from ..dynamics.hamiltonian import init_point_from_q
+    from ..transform.ops import AFFINE_OPS
 
+    ops = ops or AFFINE_OPS
     dtype = q.dtype
     if settings.method is StepSizeMethod.FIXED:
         return jnp.asarray(settings.fixed_value, dtype)
 
-    pt = init_point_from_q(q, transform, logp_grad_fn)
-    pt = initialize_trajectory(key, pt, transform, kind)
+    pt = init_point_from_q(q, transform, logp_grad_fn, ops=ops)
+    pt = initialize_trajectory(key, pt, transform, kind, ops=ops,
+                               logp_grad_fn=logp_grad_fn)
     e0 = pt.energy
     target = settings.target_accept
     init_step = jnp.asarray(settings.initial_step, dtype)
 
     def probe(step):
         res = leapfrog(pt, jnp.int32(1), step, transform, logp_grad_fn, kind,
-                       e0, 1000.0)
+                       e0, 1000.0, ops=ops)
         acc = jnp.exp(jnp.minimum(e0 - res.point.energy, 0.0))
         return acc, res.diverging
 

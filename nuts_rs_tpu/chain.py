@@ -26,6 +26,7 @@ from .dynamics.hamiltonian import KineticKind, init_point_from_q
 from .dynamics.point import Point
 from .kernels.nuts import NutsOptions, nuts_draw
 from .transform.affine import AffineTransform, identity_transform, init_diag_from_grad
+from .transform.ops import AFFINE_OPS
 
 
 class ChainState(NamedTuple):
@@ -64,6 +65,7 @@ class DiagStrategy:
     """
 
     needs_extra_state = False
+    ops = AFFINE_OPS
 
     def __init__(self, config: ChainConfig, cross_chain: bool = False,
                  axis_name: Optional[str] = None):
@@ -88,7 +90,8 @@ class DiagStrategy:
                                                   state.pt.g)
         return state._replace(diag_adapt=da, transform=transform)
 
-    def update_estimators(self, state: ChainState, draw_q, draw_g, is_good):
+    def update_estimators(self, state: ChainState, draw_q, draw_g, is_good,
+                          logp=None, energy_error=None):
         da = jax.vmap(mm.update_estimators)(state.diag_adapt, draw_q, draw_g,
                                             is_good)
         return state._replace(diag_adapt=da)
@@ -127,15 +130,16 @@ def make_draw_step(model, strategy, config: ChainConfig):
 
     logp_grad = model.logp_and_grad
     sset = config.step_size
+    ops = getattr(strategy, "ops", AFFINE_OPS)
 
     def draw_step(state: ChainState, flags):
         keys = jax.vmap(jax.random.split, in_axes=(0, None))(state.keys, 3)
         k_draw, k_jitter, k_next = keys[:, 0], keys[:, 1], keys[:, 2]
 
         draw_pt, info = jax.vmap(
-            nuts_draw, in_axes=(0, 0, 0, 0, None, None)
-        )(k_draw, state.pt, state.transform, state.step.step_size, logp_grad,
-          config.nuts)
+            lambda k, pt, t, ss_: nuts_draw(k, pt, t, ss_, logp_grad,
+                                            config.nuts, ops=ops)
+        )(k_draw, state.pt, state.transform, state.step.step_size)
 
         state = state._replace(pt=draw_pt, keys=k_next)
 
@@ -147,8 +151,9 @@ def make_draw_step(model, strategy, config: ChainConfig):
         # --- mass-matrix window (scalar-flag gated; adapt_strategy.rs:140-216) ---
         state = jax.lax.cond(
             flags["update_estimators"],
-            lambda s: strategy.update_estimators(s, draw_pt.q, draw_pt.g,
-                                                 info.is_good_for_adapt),
+            lambda s: strategy.update_estimators(
+                s, draw_pt.q, draw_pt.g, info.is_good_for_adapt,
+                logp=draw_pt.logp, energy_error=info.energy_error),
             lambda s: s, state)
         state = jax.lax.cond(flags["do_switch"], strategy.switch,
                              lambda s: s, state)
@@ -169,7 +174,7 @@ def make_draw_step(model, strategy, config: ChainConfig):
             # current position with the new transform (adapt_strategy.rs:207-212).
             found = jax.vmap(
                 partial(ss.init_search, logp_grad_fn=logp_grad, settings=sset,
-                        kind=config.nuts.kind)
+                        kind=config.nuts.kind, ops=ops)
             )(k_jitter, draw_pt.q, state.transform)
             return jax.vmap(ss.reset_from_found_step)(stp, found)
 
@@ -279,9 +284,10 @@ def init_chain_state(
         return jax.tree.map(
             lambda x: jnp.broadcast_to(x, (num_chains,) + jnp.shape(x)), tree)
 
+    ops = getattr(strategy, "ops", AFFINE_OPS)
     transform = broadcast_chains(strategy.make_transform(dim, dtype))
-    pt = jax.vmap(partial(init_point_from_q, logp_grad_fn=model.logp_and_grad)
-                  )(q0, transform)
+    pt = jax.vmap(partial(init_point_from_q, logp_grad_fn=model.logp_and_grad,
+                          ops=ops))(q0, transform)
 
     state = ChainState(
         pt=pt,
@@ -297,14 +303,89 @@ def init_chain_state(
     # Mass-matrix init from the first gradient, then the step-size search.
     state = strategy.init_mass_matrix(state)
     # Resync caches after transform change.
-    pt = jax.vmap(partial(init_point_from_q, logp_grad_fn=model.logp_and_grad)
-                  )(state.pt.q, state.transform)
+    pt = jax.vmap(partial(init_point_from_q, logp_grad_fn=model.logp_and_grad,
+                          ops=ops))(state.pt.q, state.transform)
     state = state._replace(pt=pt)
 
     search_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(state.keys)
     found = jax.vmap(
         partial(ss.init_search, logp_grad_fn=model.logp_and_grad,
-                settings=config.step_size, kind=config.nuts.kind)
+                settings=config.step_size, kind=config.nuts.kind, ops=ops)
     )(search_keys, state.pt.q, state.transform)
     step = jax.vmap(ss.reset_from_found_step)(state.step, found)
     return state._replace(step=step)
+
+
+def make_mclmc_draw_step(model, strategy, config: ChainConfig, mopts):
+    """Scan body for the MCLMC sampler (nuts-rs ``MclmcChain::draw``,
+    src/mclmc.rs:487-546): one mclmc_draw per chain + the shared adaptation
+    machinery.  ``flags`` rows additionally carry ``resample_velocity``."""
+    from .kernels.mclmc import mclmc_draw
+
+    logp_grad = model.logp_and_grad
+    sset = config.step_size
+    ops = getattr(strategy, "ops", AFFINE_OPS)
+
+    def draw_step(state: ChainState, flags):
+        keys = jax.vmap(jax.random.split, in_axes=(0, None))(state.keys, 3)
+        k_draw, k_jitter, k_next = keys[:, 0], keys[:, 1], keys[:, 2]
+
+        draw_pt, info = jax.vmap(
+            lambda k, pt, t, ss_: mclmc_draw(
+                k, pt, t, ss_, logp_grad, mopts,
+                flags["resample_velocity"], ops=ops)
+        )(k_draw, state.pt, state.transform, state.step.step_size)
+
+        state = state._replace(pt=draw_pt, keys=k_next)
+
+        # --- adaptation: collector sees the trajectory end ---
+        state = jax.lax.cond(
+            flags["update_estimators"],
+            lambda s: strategy.update_estimators(
+                s, info.draw_q, info.draw_g, info.is_good_for_adapt,
+                logp=info.draw_logp, energy_error=info.energy_change),
+            lambda s: s, state)
+        state = jax.lax.cond(flags["do_switch"], strategy.switch,
+                             lambda s: s, state)
+        state = jax.lax.cond(flags["do_update"], strategy.adapt_update,
+                             lambda s: s, state)
+
+        # Step size: jittered fixed value each draw (reference MCLMC presets
+        # use StepSizeAdaptMethod::Fixed with the default 10% jitter).
+        step_state = jax.vmap(
+            lambda k, s, ubg: ss.apply_jitter(k, s, sset, ubg),
+            in_axes=(0, 0, None),
+        )(k_jitter, state.step, flags["use_best_guess"])
+        state = state._replace(step=step_state, draw_idx=state.draw_idx + 1)
+
+        stats = {
+            "position": draw_pt.q,
+            "diverging": info.diverging,
+            "n_steps": info.num_steps,
+            "energy_change": info.energy_change,
+            "log_weight": info.log_weight,
+            "average_step_size": info.average_step_size,
+            "step_size": state.step.step_size,
+            "logp": draw_pt.logp,
+            "energy": draw_pt.energy,
+            "fisher_distance": jax.vmap(
+                lambda z, zg: jnp.sum(jnp.square(z + zg)))(draw_pt.z, draw_pt.zg),
+            "transformation_index": state.transform.id,
+            "tuning": jnp.broadcast_to(flags["is_tuning"],
+                                       info.diverging.shape),
+        }
+        if config.store_gradient:
+            stats["gradient"] = draw_pt.g
+        if config.store_unconstrained:
+            stats["unconstrained_draw"] = draw_pt.q
+        if config.store_divergences:
+            stats["divergence_start"] = info.divergence.start_location
+            stats["divergence_start_gradient"] = info.divergence.start_gradient
+            stats["divergence_end"] = info.divergence.end_location
+            stats["divergence_energy_error"] = info.divergence.energy_error
+        if config.store_mass_matrix:
+            stats["mass_matrix_inv"] = state.transform.stds
+            stats["transformation_mu"] = state.transform.mean
+        return state, stats
+
+    return draw_step

@@ -22,12 +22,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..transform.affine import (
-    AffineTransform,
-    grad_to_transformed,
-    to_transformed,
-    to_untransformed,
-)
+from ..transform.affine import AffineTransform
+from ..transform.ops import AFFINE_OPS
 from .point import Point
 
 
@@ -74,12 +70,13 @@ def leapfrog(
     pt: Point,
     direction: jax.Array,
     step_size: jax.Array,
-    transform: AffineTransform,
+    transform,
     logp_grad_fn: LogpGradFn,
     kind: KineticKind,
     energy_baseline: jax.Array,
     max_energy_error: float | jax.Array,
     step_size_factor: jax.Array | float = 1.0,
+    ops=AFFINE_OPS,
 ) -> LeapfrogResult:
     """One leapfrog step (nuts-rs ``transformed_hamiltonian.rs:524-615``).
 
@@ -112,9 +109,7 @@ def leapfrog(
         raise ValueError(kind)
 
     # --- evaluate log density at the new position (the hot call) ---
-    q1 = to_untransformed(transform, z1)
-    logp1, g1 = logp_grad_fn(q1)
-    zg1 = grad_to_transformed(transform, g1)
+    q1, logp1, g1, zg1, logdet1 = ops.eval_from_z(transform, z1, logp_grad_fn)
 
     # --- second velocity half-step ---
     if kind is KineticKind.EUCLIDEAN:
@@ -134,7 +129,7 @@ def leapfrog(
         zg=zg1,
         v=v2,
         logp=logp1,
-        logdet=jnp.asarray(transform.logdet, dtype),
+        logdet=jnp.asarray(logdet1, dtype),
         ke=ke,
         idx=pt.idx + jnp.asarray(direction, jnp.int32),
     )
@@ -178,28 +173,28 @@ def sample_momentum(key, dim, dtype, kind: KineticKind):
     return v
 
 
-def init_point_from_q(q, transform: AffineTransform, logp_grad_fn: LogpGradFn,
-                      dtype=None) -> Point:
+def init_point_from_q(q, transform, logp_grad_fn: LogpGradFn,
+                      dtype=None, ops=AFFINE_OPS) -> Point:
     """Build a full point from an untransformed position.
 
     (nuts-rs ``init_from_untransformed_position``, transformed_hamiltonian.rs:264-280)
     """
     dtype = dtype or q.dtype
     logp, g = logp_grad_fn(q)
-    z = to_transformed(transform, q)
-    zg = grad_to_transformed(transform, g)
+    z, zg, logdet = ops.eval_from_q(transform, q, g, logp_grad_fn)
     return Point(
         q=q, g=g, z=z, zg=zg,
         v=jnp.zeros_like(q),
         logp=logp,
-        logdet=jnp.asarray(transform.logdet, dtype),
+        logdet=jnp.asarray(logdet, dtype),
         ke=jnp.zeros((), dtype),
         idx=jnp.zeros((), jnp.int32),
     )
 
 
-def initialize_trajectory(key, pt: Point, transform: AffineTransform,
-                          kind: KineticKind, resample_velocity=True) -> Point:
+def initialize_trajectory(key, pt: Point, transform,
+                          kind: KineticKind, resample_velocity=True,
+                          ops=AFFINE_OPS, logp_grad_fn=None) -> Point:
     """Refresh momentum and re-sync the transform cache before a draw.
 
     (nuts-rs ``initialize_trajectory``, transformed_hamiltonian.rs:687-736).
@@ -209,15 +204,14 @@ def initialize_trajectory(key, pt: Point, transform: AffineTransform,
     dtype = pt.q.dtype
     dim = pt.q.shape[-1]
     v = sample_momentum(key, dim, dtype, kind) if resample_velocity else pt.v
-    z = to_transformed(transform, pt.q)
-    zg = grad_to_transformed(transform, pt.g)
+    z, zg, logdet = ops.eval_from_q(transform, pt.q, pt.g, logp_grad_fn)
     if kind is KineticKind.MICROCANONICAL:
         ke = jnp.zeros((), dtype)
     else:
         ke = 0.5 * jnp.sum(v * v)
     return pt._replace(
         v=v, z=z, zg=zg,
-        logdet=jnp.asarray(transform.logdet, dtype),
+        logdet=jnp.asarray(logdet, dtype),
         ke=ke,
         idx=jnp.zeros((), jnp.int32),
     )

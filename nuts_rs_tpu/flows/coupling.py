@@ -1,0 +1,195 @@
+"""Built-in normalizing flows for transform adaptation.
+
+The reference delegates the flow entirely to user code through FFI hooks
+(nuts-rs ``src/transform/external.rs``, ``src/math/math.rs:262-313``; nutpie
+supplies a flowjax flow).  Being JAX-native, this framework ships working
+flows out of the box:
+
+* :func:`diag_affine_flow` — trainable diagonal affine map q = sigma*z + mu
+  (closed-form refit from draw/grad variances).
+* :func:`coupling_flow` — RealNVP-style affine coupling stack over a diagonal
+  base layer, trained by minimizing the Fisher divergence of the pushforward
+  to N(0, I):  loss = E_x |z(x) + grad_z log pi_z(z(x))|^2, computed from the
+  stored warmup draws and gradients (no extra logp evaluations).
+
+Both return a :class:`~nuts_rs_tpu.transform.ops.FlowSpec`.
+
+Convention: ``forward(params, z) -> (q, logdet)`` and
+``inverse(params, q) -> (z, logdet)`` both return log|det dF/dz| (the FORWARD
+Jacobian log-determinant) so the Hamiltonian energy E = KE - (logp + logdet)
+equals -log pi_z(z) + KE up to a constant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..transform.ops import FlowSpec
+
+
+# ---------------------------------------------------------------------------
+# Diagonal affine flow
+# ---------------------------------------------------------------------------
+
+def diag_affine_flow() -> FlowSpec:
+    """q = exp(log_sigma) * z + mu with closed-form refits."""
+
+    def forward(params, z):
+        log_sigma, mu = params["log_sigma"], params["mu"]
+        q = jnp.exp(log_sigma) * z + mu
+        return q, jnp.sum(log_sigma)
+
+    def inverse(params, q):
+        log_sigma, mu = params["log_sigma"], params["mu"]
+        z = (q - mu) * jnp.exp(-log_sigma)
+        return z, jnp.sum(log_sigma)
+
+    def init(key, dim, q0, g0):
+        var = 1.0 / jnp.clip(jnp.abs(g0), 1e-20, 1e20)
+        return {"log_sigma": 0.5 * jnp.log(var), "mu": q0 + var * g0}
+
+    def update(key, params, draws, grads, logps, mask):
+        m = mask.astype(draws.dtype)[:, None]
+        n = jnp.maximum(jnp.sum(m), 1.0)
+        dm = jnp.sum(draws * m, axis=0) / n
+        gm = jnp.sum(grads * m, axis=0) / n
+        dv = jnp.sum(jnp.square(draws - dm) * m, axis=0) / n
+        gv = jnp.sum(jnp.square(grads - gm) * m, axis=0) / n
+        var = jnp.sqrt(dv / gv)
+        ok = jnp.isfinite(var) & (var > 0)
+        var = jnp.where(ok, var, jnp.exp(2.0 * params["log_sigma"]))
+        enough = jnp.sum(m) >= 3
+        log_sigma = jnp.where(enough, 0.5 * jnp.log(var), params["log_sigma"])
+        mu = jnp.where(enough, dm + var * gm, params["mu"])
+        return {"log_sigma": log_sigma, "mu": mu}
+
+    return FlowSpec(forward=forward, inverse=inverse, init=init, update=update)
+
+
+# ---------------------------------------------------------------------------
+# RealNVP-style coupling flow
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CouplingFlowConfig:
+    num_layers: int = 4
+    hidden: int = 32
+    train_steps: int = 200
+    learning_rate: float = 1e-3
+    max_scale: float = 4.0  # tanh clamp on log-scales for stability
+
+
+def _mlp_apply(w, x):
+    h = jnp.tanh(x @ w["w1"] + w["b1"])
+    return h @ w["w2"] + w["b2"]
+
+
+def _layer_forward(layer, cfg, z):
+    """One affine coupling step; even/odd masks alternate per layer."""
+    mask = layer["mask"]  # [d] 1.0 where the coordinate passes through
+    z_pass = z * mask
+    raw = _mlp_apply(layer["net"], z_pass)
+    d = z.shape[-1]
+    s = cfg.max_scale * jnp.tanh(raw[:d] / cfg.max_scale) * (1.0 - mask)
+    t = raw[d:] * (1.0 - mask)
+    q = z_pass + (1.0 - mask) * (z * jnp.exp(s) + t)
+    return q, jnp.sum(s)
+
+
+def _layer_inverse(layer, cfg, q):
+    mask = layer["mask"]
+    q_pass = q * mask
+    raw = _mlp_apply(layer["net"], q_pass)
+    d = q.shape[-1]
+    s = cfg.max_scale * jnp.tanh(raw[:d] / cfg.max_scale) * (1.0 - mask)
+    t = raw[d:] * (1.0 - mask)
+    z = q_pass + (1.0 - mask) * ((q - t) * jnp.exp(-s))
+    return z, jnp.sum(s)
+
+
+def coupling_flow(cfg: CouplingFlowConfig = CouplingFlowConfig()) -> FlowSpec:
+    """Diagonal base layer + ``cfg.num_layers`` affine coupling layers."""
+
+    def forward(params, z):
+        logdet = jnp.zeros((), z.dtype)
+        for layer in params["layers"]:
+            z, ld = _layer_forward(layer, cfg, z)
+            logdet = logdet + ld
+        q = jnp.exp(params["log_sigma"]) * z + params["mu"]
+        return q, logdet + jnp.sum(params["log_sigma"])
+
+    def inverse(params, q):
+        z = (q - params["mu"]) * jnp.exp(-params["log_sigma"])
+        logdet = jnp.sum(params["log_sigma"])
+        for layer in reversed(params["layers"]):
+            z, ld = _layer_inverse(layer, cfg, z)
+            logdet = logdet + ld
+        return z, logdet
+
+    def init(key, dim, q0, g0):
+        dtype = q0.dtype
+        layers = []
+        for i in range(cfg.num_layers):
+            key, k1 = jax.random.split(key)
+            mask = (jnp.arange(dim) % 2 == i % 2).astype(dtype)
+            # Identity init: zero output layer.
+            w = {
+                "w1": jax.random.normal(k1, (dim, cfg.hidden), dtype)
+                / jnp.sqrt(jnp.asarray(dim, dtype)),
+                "b1": jnp.zeros(cfg.hidden, dtype),
+                "w2": jnp.zeros((cfg.hidden, 2 * dim), dtype),
+                "b2": jnp.zeros(2 * dim, dtype),
+            }
+            layers.append({"mask": mask, "net": w})
+        var = 1.0 / jnp.clip(jnp.abs(g0), 1e-20, 1e20)
+        return {
+            "layers": layers,
+            "log_sigma": 0.5 * jnp.log(var),
+            "mu": q0 + var * g0,
+        }
+
+    def fisher_loss(params, draws, grads, mask):
+        """Mean |z + grad_z log pi_z(z)|^2 over the masked window."""
+
+        def per_sample(q, g):
+            (z, _), vjp = jax.vjp(lambda qq: inverse(params, qq), q)
+            # score of the pushforward: grad_z log pi_z(z)
+            #   = (dq/dz)^T g + grad_z log|det dF/dz|
+            # computed by differentiating the forward map at z:
+            (_, _), fvjp = jax.vjp(lambda zz: forward(params, zz), z)
+            zg = fvjp((g, jnp.ones((), q.dtype)))[0]
+            return jnp.sum(jnp.square(z + zg))
+
+        losses = jax.vmap(per_sample)(draws, grads)
+        m = mask.astype(draws.dtype)
+        return jnp.sum(losses * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    def update(key, params, draws, grads, logps, mask):
+        opt = optax.adam(cfg.learning_rate)
+        opt_state = opt.init(params)
+        grad_fn = jax.value_and_grad(fisher_loss)
+
+        def step(carry, _):
+            params, opt_state = carry
+            loss, g = grad_fn(params, draws, grads, mask)
+            updates, opt_state = opt.update(g, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (new_params, _), losses = jax.lax.scan(
+            step, (params, opt_state), None, length=cfg.train_steps)
+
+        # Keep the refit only if it is finite and there was data.
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(new_params)]))
+        enough = jnp.sum(mask) >= 10
+        ok = finite & enough
+        return jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                            new_params, params)
+
+    return FlowSpec(forward=forward, inverse=inverse, init=init, update=update)

@@ -55,6 +55,7 @@ from ..dynamics.hamiltonian import (
 )
 from ..dynamics.point import Point, point_where
 from ..transform.affine import AffineTransform
+from ..transform.ops import AFFINE_OPS
 from ..utils.bits import trailing_zeros
 
 
@@ -154,10 +155,11 @@ def _empty_div_info(dim, dtype):
 def nuts_draw(
     key: jax.Array,
     init_pt: Point,
-    transform: AffineTransform,
+    transform,
     step_size: jax.Array,
     logp_grad_fn: LogpGradFn,
     opts: NutsOptions,
+    ops=AFFINE_OPS,
 ) -> tuple[Point, NutsInfo]:
     """Run one NUTS draw from ``init_pt`` (single chain; vmap for batches).
 
@@ -170,7 +172,8 @@ def nuts_draw(
     dtype = init_pt.q.dtype
 
     key, key_mom = jax.random.split(key)
-    pt0 = initialize_trajectory(key_mom, init_pt, transform, opts.kind)
+    pt0 = initialize_trajectory(key_mom, init_pt, transform, opts.kind,
+                                ops=ops, logp_grad_fn=logp_grad_fn)
     initial_energy = pt0.energy
 
     # target_integration_time -> dynamic (mindepth, maxdepth); nuts.rs:300-320.
@@ -229,7 +232,7 @@ def nuts_draw(
 
         res = leapfrog(
             c.p_edge, c.direction, step_size, transform, logp_grad_fn,
-            opts.kind, initial_energy, opts.max_energy_error,
+            opts.kind, initial_energy, opts.max_energy_error, ops=ops,
         )
         new_pt, diverged = res.point, res.diverging
 

@@ -64,6 +64,23 @@ def correlated_normal_rank1(dim: int, scale: float = 1.5, eig: float = 1000.0) -
     return model
 
 
+def correlated_normal(dim: int, rank1_scale: float = 0.5) -> Model:
+    """Correlated normal with covariance I + rank1_scale * ones ones^T.
+
+    Mirror of ``CorrelatedNormalLogp`` (nuts-rs tests/sample_normal.rs:21-107):
+    by Woodbury the precision is I - c * ones ones^T with
+    c = rank1_scale / (1 + rank1_scale * dim).
+    """
+    c = rank1_scale / (1.0 + rank1_scale * dim)
+
+    def logp(q):
+        s = jnp.sum(q)
+        prec_q = q - c * s
+        return -0.5 * jnp.sum(q * prec_q)
+
+    return Model(logp_fn=logp, dim=dim, name=f"corr_normal_{dim}d")
+
+
 def funnel(dim: int = 10) -> Model:
     """Neal's funnel: v ~ N(0, 3), x_i | v ~ N(0, exp(v/2))."""
 

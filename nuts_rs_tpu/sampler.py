@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .adapt.flow import FlowAdaptSettings, build_flow_schedule
+from .adapt.low_rank import LowRankSettings
 from .adapt.schedule import AdaptSchedule, AdaptScheduleOptions, build_schedule
 from .adapt.step_size import StepSizeMethod, StepSizeSettings
 from .chain import (
@@ -57,6 +59,9 @@ class NutsSettings:
     kinetic_energy: KineticKind = KineticKind.EUCLIDEAN
     adapt: AdaptScheduleOptions = AdaptScheduleOptions()
     step_size: StepSizeSettings = StepSizeSettings()
+    low_rank: LowRankSettings = LowRankSettings()
+    flow: FlowAdaptSettings = FlowAdaptSettings()
+    flow_spec: Any = None  # FlowSpec; None -> built-in coupling flow
     use_grad_based_estimate: bool = True
     mass_matrix: str = "diag"  # "diag" | "low_rank" | "flow"
 
@@ -92,6 +97,146 @@ class NutsSettings:
     def adaptation_name(self) -> str:
         return self.mass_matrix
 
+    def build_phases(self, model, strategy, config):
+        step = make_draw_step(model, strategy, config)
+        return [(0, self.num_tune + self.num_draws, step)]
+
+    def extra_flags(self, flags, lo, hi):
+        return flags
+
+
+class MclmcTrajectoryKind(str, __import__("enum").Enum):
+    """nuts-rs ``MclmcTrajectoryKind`` (src/mclmc.rs:44-70)."""
+
+    MICROCANONICAL = "microcanonical"
+    EUCLIDEAN = "euclidean"
+    EUCLIDEAN_EARLY_THEN_MICROCANONICAL = "euclidean_early_then_microcanonical"
+
+
+@dataclasses.dataclass(frozen=True)
+class MclmcSettings:
+    """Unadjusted MCLMC settings (nuts-rs ``MclmcSettings``,
+    src/sampler.rs:268-318; experimental in the reference too).
+
+    Step size and decoherence length L are constants (no adaptation); the
+    geometry adapts during warmup with the shared window schedule.
+    """
+
+    step_size: float = 0.5
+    momentum_decoherence_length: float = 3.0
+    num_tune: int = 400
+    num_draws: int = 1000
+    num_chains: int = 6
+    seed: int = 0
+    max_energy_error: float = 1000.0
+    store_gradient: bool = False
+    store_unconstrained: bool = False
+    store_transformed: bool = False
+    store_divergences: bool = False
+    store_mass_matrix: bool = False
+    subsample_frequency: float = 1.0
+    dynamic_step_size: bool = True
+    trajectory_kind: MclmcTrajectoryKind = (
+        MclmcTrajectoryKind.EUCLIDEAN_EARLY_THEN_MICROCANONICAL)
+    trajectory_switch_fraction: float = 0.3
+    adapt: AdaptScheduleOptions = AdaptScheduleOptions()
+    low_rank: LowRankSettings = LowRankSettings()
+    use_grad_based_estimate: bool = True
+    mass_matrix: str = "diag"
+
+    @property
+    def step_size_settings(self) -> StepSizeSettings:
+        # Reference MCLMC presets: Fixed step size with the default 10% jitter.
+        return StepSizeSettings(method=StepSizeMethod.FIXED,
+                                fixed_value=self.step_size,
+                                initial_step=self.step_size)
+
+    def chain_config(self) -> ChainConfig:
+        from .kernels.nuts import NutsOptions
+
+        return ChainConfig(
+            nuts=NutsOptions(max_energy_error=self.max_energy_error),
+            step_size=self.step_size_settings,
+            use_grad_based_estimate=self.use_grad_based_estimate,
+            store_gradient=self.store_gradient,
+            store_unconstrained=self.store_unconstrained,
+            store_transformed=self.store_transformed,
+            store_divergences=self.store_divergences,
+            store_mass_matrix=self.store_mass_matrix,
+        )
+
+    @property
+    def switch_draw(self) -> Optional[int]:
+        if self.trajectory_kind is not MclmcTrajectoryKind.EUCLIDEAN_EARLY_THEN_MICROCANONICAL:
+            return None
+        return int(self.trajectory_switch_fraction * self.num_tune)
+
+    def _mclmc_options(self, kind):
+        from .dynamics.hamiltonian import KineticKind
+        from .kernels.mclmc import MclmcOptions
+
+        kk = (KineticKind.MICROCANONICAL
+              if kind is MclmcTrajectoryKind.MICROCANONICAL
+              else KineticKind.EUCLIDEAN)
+        return MclmcOptions(
+            momentum_decoherence_length=self.momentum_decoherence_length,
+            subsample_frequency=self.subsample_frequency,
+            dynamic_step_size=self.dynamic_step_size,
+            max_energy_error=self.max_energy_error,
+            kind=kk,
+            store_divergences=self.store_divergences,
+        )
+
+    def build_phases(self, model, strategy, config):
+        from .chain import make_mclmc_draw_step
+
+        total = self.num_tune + self.num_draws
+        if self.switch_draw is None:
+            opts = self._mclmc_options(self.trajectory_kind)
+            return [(0, total,
+                     make_mclmc_draw_step(model, strategy, config, opts))]
+        sw = self.switch_draw
+        eucl = make_mclmc_draw_step(
+            model, strategy, config,
+            self._mclmc_options(MclmcTrajectoryKind.EUCLIDEAN))
+        micro = make_mclmc_draw_step(
+            model, strategy, config,
+            self._mclmc_options(MclmcTrajectoryKind.MICROCANONICAL))
+        return [(0, sw, eucl), (sw, total, micro)]
+
+    def extra_flags(self, flags, lo, hi):
+        # Full momentum resample on the first draw and at the trajectory
+        # switch (mclmc.rs:488-503).
+        resample = np.zeros(hi - lo, bool)
+        special = {0, self.switch_draw}
+        for d in range(lo, hi):
+            if d in special:
+                resample[d - lo] = True
+        flags = dict(flags)
+        flags["resample_velocity"] = jnp.asarray(resample)
+        return flags
+
+    @property
+    def sampler_name(self) -> str:
+        return "mclmc"
+
+    @property
+    def adaptation_name(self) -> str:
+        return self.mass_matrix
+
+
+def DiagMclmcSettings(**kw) -> MclmcSettings:
+    """Defaults of nuts-rs ``DiagMclmcSettings`` (src/sampler.rs:381-387)."""
+    return MclmcSettings(**kw)
+
+
+def LowRankMclmcSettings(**kw) -> MclmcSettings:
+    """Defaults of nuts-rs ``LowRankMclmcSettings`` (src/sampler.rs:389-396)."""
+    kw.setdefault("num_tune", 800)
+    kw.setdefault("mass_matrix", "low_rank")
+    kw.setdefault("adapt", AdaptScheduleOptions(early_mass_matrix_switch_freq=20))
+    return MclmcSettings(**kw)
+
 
 def DiagNutsSettings(**kw) -> NutsSettings:
     """Defaults of nuts-rs ``DiagNutsSettings`` (src/sampler.rs:630-633)."""
@@ -104,6 +249,16 @@ def LowRankNutsSettings(**kw) -> NutsSettings:
     kw.setdefault("mass_matrix", "low_rank")
     kw.setdefault(
         "adapt", AdaptScheduleOptions(mass_matrix_update_freq=20))
+    return NutsSettings(**kw)
+
+
+def FlowNutsSettings(**kw) -> NutsSettings:
+    """Defaults of nuts-rs ``FlowNutsSettings`` (src/sampler.rs:643-646):
+    1500 tuning draws, 1 chain, max_energy_error 20."""
+    kw.setdefault("num_tune", 1500)
+    kw.setdefault("num_chains", 1)
+    kw.setdefault("max_energy_error", 20.0)
+    kw.setdefault("mass_matrix", "flow")
     return NutsSettings(**kw)
 
 
@@ -123,14 +278,28 @@ class ChainProgress:
     divergent_draws: list = dataclasses.field(default_factory=list)
 
 
-def _strategy_for(settings: NutsSettings, config: ChainConfig):
+def _strategy_for(settings, config: ChainConfig):
     if settings.mass_matrix == "diag":
         return DiagStrategy(config)
     if settings.mass_matrix == "low_rank":
         from .adapt.low_rank import LowRankStrategy
 
         return LowRankStrategy(config, settings)
+    if settings.mass_matrix == "flow":
+        from .adapt.flow import FlowStrategy
+        from .flows.coupling import coupling_flow
+
+        spec = getattr(settings, "flow_spec", None) or coupling_flow()
+        return FlowStrategy(config, settings, spec)
     raise NotImplementedError(f"mass matrix kind {settings.mass_matrix!r}")
+
+
+def _schedule_for(settings):
+    if settings.mass_matrix == "flow":
+        return build_flow_schedule(settings.num_tune, settings.num_draws,
+                                   settings.flow)
+    return build_schedule(settings.num_tune, settings.num_draws,
+                          settings.adapt)
 
 
 def _schedule_chunk(sched: AdaptSchedule, lo: int, hi: int) -> Mapping[str, jax.Array]:
@@ -145,6 +314,10 @@ def _schedule_chunk(sched: AdaptSchedule, lo: int, hi: int) -> Mapping[str, jax.
         "skip_stepsize_update": jnp.asarray(sched.skip_stepsize_update[lo:hi]),
         "advance_da": jnp.asarray(sched.advance_da[lo:hi]),
     }
+
+
+def _scan_chunk(step, state, flags):
+    return jax.lax.scan(step, state, flags)
 
 
 class Sampler:
@@ -177,8 +350,7 @@ class Sampler:
         config = settings.chain_config()
         self.config = config
         self.strategy = _strategy_for(settings, config)
-        self.schedule = build_schedule(settings.num_tune, settings.num_draws,
-                                       settings.adapt)
+        self.schedule = _schedule_for(settings)
         storage = storage or MemoryConfig()
         self.trace = storage.new_trace(settings, model, settings.num_chains)
         self.progress = [
@@ -195,12 +367,13 @@ class Sampler:
         self.state: ChainState = jax.tree.map(
             lambda x: jnp.array(x, copy=True), state)
 
-        draw_step = make_draw_step(model, self.strategy, config)
-
-        def run_chunk(state, flags):
-            return jax.lax.scan(draw_step, state, flags)
-
-        self._run_chunk = jax.jit(run_chunk, donate_argnums=0)
+        # Phases: draw-index ranges with their own compiled step (MCLMC's
+        # Euclidean -> Microcanonical switch is a host-known boundary).
+        self._phases = settings.build_phases(model, self.strategy, config)
+        self._phase_runners = [
+            (start, end, jax.jit(partial(_scan_chunk, step), donate_argnums=0))
+            for start, end, step in self._phases
+        ]
 
         if model.expand_fn is not None:
             def expand_chunk(keys, qs):
@@ -220,10 +393,13 @@ class Sampler:
 
     def run_next_chunk(self) -> None:
         lo = self._next_draw
-        hi = min(lo + self.chunk_size, self._total)
+        start, end, runner = next(
+            (s, e, r) for s, e, r in self._phase_runners if s <= lo < e)
+        hi = min(lo + self.chunk_size, self._total, end)
         flags = _schedule_chunk(self.schedule, lo, hi)
+        flags = self.settings.extra_flags(flags, lo, hi)
         t0 = time.monotonic()
-        self.state, stats = self._run_chunk(self.state, flags)
+        self.state, stats = runner(self.state, flags)
 
         # Device -> host; [k, C, ...] -> [C, k, ...]
         stats = jax.tree.map(lambda x: np.moveaxis(np.asarray(x), 0, 1), stats)
@@ -270,7 +446,7 @@ class Sampler:
 
 def sample(
     model: Model,
-    settings: Optional[NutsSettings] = None,
+    settings=None,
     *,
     seed: Optional[int] = None,
     storage: Optional[StorageConfig] = None,

@@ -1,0 +1,288 @@
+"""ArviZ-compatible Zarr trace storage.
+
+Mirrors the reference's Zarr layout exactly (nuts-rs
+``src/storage/zarr/sync_impl.rs:61-699`` + ``common.rs:37-340``) — it is the
+compatibility surface:
+
+* root attrs carry the serialized settings + sampler metadata
+  (``sync_impl.rs:487-508``)
+* groups ``posterior/``, ``sample_stats/``, ``warmup_posterior/``,
+  ``warmup_sample_stats/`` with dims ``["chain", "draw", ...]``
+* arrays chunked ``(1 chain, draw_chunk)`` with 100 draws per chunk by
+  default (``sync_impl.rs:410``), streamed progressively
+* sparse event arrays (divergences, transformation updates) resized to the
+  maximum per-chain event count at finalize (``sync_impl.rs:662-685``)
+* coordinate arrays stored as 1-D arrays (``store_coords``, common.rs:26-58)
+
+Chunks are zlib-compressed Zarr v2 (see ``zarr_format.py``); the Blosc-Zstd
+codec of the reference is not available here without native deps — the layout
+and metadata are otherwise identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Mapping, Optional
+
+import numpy as np
+
+from .core import StorageConfig, TraceStorage
+from .zarr_format import ZarrGroup
+
+_POSTERIOR_KEYS = ("position",)
+
+
+class _GroupBuffer:
+    """Per-group draw buffer flushed as aligned (1, chunk_draws, ...) chunks."""
+
+    def __init__(self, group: ZarrGroup, num_chains: int, total_draws: int,
+                 chunk_draws: int):
+        self.group = group
+        self.num_chains = num_chains
+        self.total = total_draws
+        self.chunk_draws = chunk_draws
+        self.arrays: Dict[str, Any] = {}
+        self.pending: Dict[str, List[np.ndarray]] = {}
+        self.written = 0   # draws fully written to chunk files
+        self.buffered = 0  # draws in the pending buffers
+
+    def _ensure_array(self, name, sample: np.ndarray, dims_tail):
+        if name in self.arrays:
+            return
+        tail_shape = sample.shape[2:]
+        dtype = sample.dtype
+        if dtype == np.int32:
+            dtype = np.dtype(np.int64)
+        self.arrays[name] = self.group.array(
+            name,
+            shape=(self.num_chains, self.total) + tail_shape,
+            chunks=(1, self.chunk_draws) + tail_shape,
+            dtype=dtype,
+            dims=["chain", "draw"] + list(dims_tail),
+        )
+        self.pending[name] = []
+
+    def append(self, name, data: np.ndarray, dims_tail=()):
+        """data: [chains, k, ...]"""
+        self._ensure_array(name, data, dims_tail)
+        self.pending[name].append(np.asarray(data))
+
+    def end_batch(self, k: int):
+        self.buffered += k
+        # Flush only chunk-aligned blocks (or the final partial chunk once the
+        # stream is complete) — chunk files are written exactly once.
+        while self._pending_rows() >= self.chunk_draws or (
+                self._pending_rows() > 0
+                and self.written + self._pending_rows() >= self.total):
+            self._flush_one_chunk()
+
+    def _pending_rows(self):
+        if not self.pending:
+            return 0
+        lists = next(iter(self.pending.values()))
+        return sum(a.shape[1] for a in lists)
+
+    def _flush_one_chunk(self):
+        chunk_idx = self.written // self.chunk_draws
+        take = min(self.chunk_draws - self.written % self.chunk_draws,
+                   self.total - self.written)
+        for name, lists in self.pending.items():
+            cat = np.concatenate(lists, axis=1) if len(lists) > 1 else lists[0]
+            block, rest = cat[:, :take], cat[:, take:]
+            for c in range(self.num_chains):
+                self.arrays[name].write_chunk(
+                    (c, chunk_idx) + (0,) * (block.ndim - 2), block[c:c + 1])
+            self.pending[name] = [rest] if rest.shape[1] else []
+        self.written += take
+        self.buffered -= take
+
+    def flush_remainder(self):
+        while self._pending_rows() > 0:
+            self._flush_one_chunk()
+
+
+class ZarrStorage(TraceStorage):
+    def __init__(self, path: str, settings, model, num_chains: int,
+                 chunk_draws: int = 100):
+        self.path = path
+        self.settings = settings
+        self.model = model
+        num_tune = getattr(settings, "num_tune", 0)
+        num_draws = getattr(settings, "num_draws", 0)
+        self.num_tune = num_tune
+        self.num_draws = num_draws
+        self.num_chains = num_chains
+
+        attrs = {
+            "sampler": getattr(settings, "sampler_name", "nuts"),
+            "adaptation": getattr(settings, "adaptation_name", "diag"),
+            "settings": _settings_json(settings),
+            "model": getattr(model, "name", "model"),
+            "framework": "nuts_rs_tpu",
+        }
+        self.root = ZarrGroup(path, attrs)
+        mk = lambda name, total: _GroupBuffer(
+            self.root.group(name), num_chains, total, chunk_draws)
+        self.groups = {
+            ("posterior", False): mk("posterior", num_draws),
+            ("sample_stats", False): mk("sample_stats", num_draws),
+            ("posterior", True): mk("warmup_posterior", num_tune),
+            ("sample_stats", True): mk("warmup_sample_stats", num_tune),
+        }
+        self._write_coords()
+        # Sparse event accumulation (compacted at finalize).
+        self._events: Dict[str, List[dict]] = {"divergence": [],
+                                               "transformation_update": []}
+        self._last_transform_id = np.full(num_chains, -(10 ** 9), np.int64)
+
+    def _write_coords(self):
+        coords = dict(getattr(self.model, "coords", None) or {})
+        for (gname, _), buf in list(self.groups.items()):
+            pass
+        for name, values in coords.items():
+            arr = np.asarray(values)
+            if arr.dtype.kind in "OU":
+                continue  # string coords unsupported by the minimal writer
+            for key in ("posterior", "warmup_posterior"):
+                ZarrGroup(os.path.join(self.path, key)).write_full_array(
+                    name, arr, dims=[name])
+
+    def _dims_for(self, name, sample):
+        model_dims = dict(getattr(self.model, "dims", None) or {})
+        if name in model_dims:
+            return list(model_dims[name])
+        tail = sample.ndim - 2
+        if tail == 0:
+            return []
+        if sample.shape[2:] == (getattr(self.model, "dim", -1),):
+            return ["unconstrained_parameter"]
+        return [f"{name}_dim_{i}" for i in range(tail)]
+
+    def record_chunk(self, start_draw, stats, expanded, tuning):
+        tuning = np.asarray(tuning)
+        k = len(tuning)
+        segments = []
+        # split the chunk at the warmup/posterior boundary
+        if tuning.any() and (~tuning).any():
+            split = int(tuning.sum())
+            segments = [(slice(0, split), True), (slice(split, k), False)]
+        else:
+            segments = [(slice(0, k), bool(tuning[0]) if k else False)]
+
+        ids = np.asarray(stats.get("transformation_index"))
+        for sl, is_warm in segments:
+            n = sl.stop - sl.start
+            if n == 0:
+                continue
+            post = self.groups[("posterior", is_warm)]
+            ss = self.groups[("sample_stats", is_warm)]
+            for name, data in stats.items():
+                data = np.asarray(data)[:, sl]
+                if name in _POSTERIOR_KEYS:
+                    post.append(name, data, self._dims_for(name, data))
+                else:
+                    ss.append(name, data, self._dims_for(name, data))
+            for name, data in expanded.items():
+                post.append(name, np.asarray(data)[:, sl],
+                            self._dims_for(name, np.asarray(data)))
+            post.end_batch(n)
+            ss.end_batch(n)
+
+        # events
+        div = np.asarray(stats["diverging"])
+        for c in range(self.num_chains):
+            for j in np.nonzero(div[c])[0]:
+                ev = {"chain": c, "draw": start_draw + int(j)}
+                for key in ("divergence_start", "divergence_end",
+                            "divergence_start_gradient",
+                            "divergence_energy_error"):
+                    if key in stats:
+                        ev[key] = np.asarray(stats[key])[c, j]
+                self._events["divergence"].append(ev)
+            if ids is not None:
+                prev = self._last_transform_id[c]
+                row = ids[c]
+                for j in range(len(row)):
+                    if row[j] != prev:
+                        ev = {"chain": c, "draw": start_draw + int(j),
+                              "transformation_update_id": int(row[j])}
+                        if "mass_matrix_inv" in stats:
+                            ev["mass_matrix_inv"] = np.asarray(
+                                stats["mass_matrix_inv"])[c, j]
+                            ev["transformation_mu"] = np.asarray(
+                                stats["transformation_mu"])[c, j]
+                        self._events["transformation_update"].append(ev)
+                    prev = row[j]
+                self._last_transform_id[c] = prev
+
+    def _write_events(self):
+        for ev_name, events in self._events.items():
+            if not events:
+                continue
+            group = ZarrGroup(os.path.join(self.path, "sample_stats"))
+            # ragged -> (chain, event) arrays padded to the max event count
+            per_chain: List[List[dict]] = [[] for _ in range(self.num_chains)]
+            for ev in events:
+                per_chain[ev["chain"]].append(ev)
+            max_n = max(len(l) for l in per_chain)
+            keys = [k for k in events[0] if k != "chain"]
+            for key in keys:
+                sample = np.asarray(events[0][key])
+                shape = (self.num_chains, max_n) + sample.shape
+                dtype = sample.dtype if sample.dtype.kind == "f" else np.int64
+                out = np.full(shape, np.nan if np.dtype(dtype).kind == "f"
+                              else -1, dtype=dtype)
+                for c, evs in enumerate(per_chain):
+                    for i, ev in enumerate(evs):
+                        out[c, i] = ev[key]
+                dims = ["chain", ev_name] + (
+                    ["unconstrained_parameter"] if sample.ndim else [])
+                group.write_full_array(f"{ev_name}_{key}", out, dims=dims)
+
+    def finalize(self):
+        for buf in self.groups.values():
+            buf.flush_remainder()
+        self._write_events()
+        return self.path
+
+    def flush(self):
+        # Only full chunks can be forced out mid-run (each chunk file is
+        # written once); partial tails stay buffered until finalize.
+        for buf in self.groups.values():
+            buf.end_batch(0)
+
+    def inspect(self):
+        return self.path
+
+
+def _settings_json(settings) -> str:
+    def enc(obj):
+        if dataclasses.is_dataclass(obj):
+            return {f.name: enc(getattr(obj, f.name))
+                    for f in dataclasses.fields(obj)}
+        if isinstance(obj, (list, tuple)):
+            return [enc(x) for x in obj]
+        if hasattr(obj, "value"):
+            return obj.value
+        if callable(obj):
+            return repr(obj)
+        return obj
+
+    try:
+        return json.dumps(enc(settings), default=str)
+    except TypeError:
+        return repr(settings)
+
+
+@dataclasses.dataclass
+class ZarrConfig(StorageConfig):
+    """nuts-rs ``ZarrConfig`` equivalent: write the trace to ``path``."""
+
+    path: str
+    chunk_draws: int = 100
+
+    def new_trace(self, settings, model, num_chains):
+        return ZarrStorage(self.path, settings, model, num_chains,
+                           self.chunk_draws)

@@ -1,0 +1,169 @@
+"""Minimal dependency-free Zarr v2 directory-store writer.
+
+The reference writes ArviZ-compatible Zarr hierarchies through the ``zarrs``
+crate (nuts-rs ``src/storage/zarr/``); this environment has no ``zarr``
+Python package, so we emit the (simple, stable) Zarr v2 on-disk format
+directly: per-group ``.zgroup``/``.zattrs`` JSON, per-array ``.zarray``
+metadata, and C-order chunk files named ``i.j.k``, zlib-compressed
+(readable by zarr-python with the standard ``zlib`` codec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from typing import Any, Mapping, Optional, Sequence
+
+import numpy as np
+
+_DTYPE_MAP = {
+    np.dtype("float64"): "<f8",
+    np.dtype("float32"): "<f4",
+    np.dtype("int64"): "<i8",
+    np.dtype("int32"): "<i4",
+    np.dtype("uint64"): "<u8",
+    np.dtype("bool"): "|b1",
+}
+
+
+def _fill_value(dtype: np.dtype):
+    if dtype.kind == "f":
+        return "NaN"
+    if dtype.kind == "b":
+        return False
+    return 0
+
+
+class ZarrGroup:
+    def __init__(self, path: str, attrs: Optional[Mapping[str, Any]] = None):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+        if attrs:
+            self.write_attrs(attrs)
+
+    def write_attrs(self, attrs: Mapping[str, Any]):
+        with open(os.path.join(self.path, ".zattrs"), "w") as f:
+            json.dump(dict(attrs), f, default=str)
+
+    def group(self, name: str, attrs=None) -> "ZarrGroup":
+        return ZarrGroup(os.path.join(self.path, name), attrs)
+
+    def array(self, name: str, shape, chunks, dtype,
+              dims: Optional[Sequence[str]] = None,
+              attrs: Optional[Mapping[str, Any]] = None,
+              compress: bool = True) -> "ZarrArray":
+        return ZarrArray(os.path.join(self.path, name), shape, chunks, dtype,
+                         dims=dims, attrs=attrs, compress=compress)
+
+    def write_full_array(self, name: str, data: np.ndarray,
+                         dims: Optional[Sequence[str]] = None):
+        data = np.ascontiguousarray(data)
+        arr = self.array(name, data.shape, data.shape or (1,), data.dtype,
+                         dims=dims)
+        if data.ndim == 0:
+            data = data[None]
+        arr.write_chunk((0,) * data.ndim, data)
+        return arr
+
+
+class ZarrArray:
+    def __init__(self, path, shape, chunks, dtype, dims=None, attrs=None,
+                 compress=True):
+        self.path = path
+        self.shape = tuple(int(s) for s in shape)
+        self.chunks = tuple(int(c) for c in chunks)
+        self.dtype = np.dtype(dtype)
+        self.compress = compress
+        os.makedirs(path, exist_ok=True)
+        if self.dtype not in _DTYPE_MAP:
+            raise TypeError(f"unsupported dtype {self.dtype}")
+        self._write_meta()
+        zattrs = dict(attrs or {})
+        if dims is not None:
+            # xarray convention used by ArviZ readers.
+            zattrs["_ARRAY_DIMENSIONS"] = list(dims)
+        if zattrs:
+            with open(os.path.join(path, ".zattrs"), "w") as f:
+                json.dump(zattrs, f, default=str)
+
+    def _write_meta(self):
+        meta = {
+            "zarr_format": 2,
+            "shape": list(self.shape),
+            "chunks": list(self.chunks),
+            "dtype": _DTYPE_MAP[self.dtype],
+            "compressor": {"id": "zlib", "level": 1} if self.compress else None,
+            "fill_value": _fill_value(self.dtype),
+            "order": "C",
+            "filters": None,
+        }
+        with open(os.path.join(self.path, ".zarray"), "w") as f:
+            json.dump(meta, f)
+
+    def resize(self, new_shape):
+        self.shape = tuple(int(s) for s in new_shape)
+        self._write_meta()
+
+    def write_chunk(self, chunk_index: Sequence[int], data: np.ndarray):
+        """Write one chunk; ``data`` may be smaller than the chunk shape at
+        the trailing edge and is zero/NaN-padded to the full chunk."""
+        data = np.ascontiguousarray(data, dtype=self.dtype)
+        if data.shape != self.chunks:
+            pad = np.full(self.chunks,
+                          np.nan if self.dtype.kind == "f" else 0,
+                          dtype=self.dtype)
+            pad[tuple(slice(0, s) for s in data.shape)] = data
+            data = pad
+        raw = data.tobytes(order="C")
+        if self.compress:
+            raw = zlib.compress(raw, 1)
+        name = ".".join(str(int(i)) for i in chunk_index)
+        with open(os.path.join(self.path, name), "wb") as f:
+            f.write(raw)
+
+
+def read_array(path: str) -> np.ndarray:
+    """Read back a full Zarr v2 array (for tests / inspect)."""
+    with open(os.path.join(path, ".zarray")) as f:
+        meta = json.load(f)
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    dtype = np.dtype(meta["dtype"])
+    fill = meta["fill_value"]
+    if fill == "NaN":
+        fill = np.nan
+    out = np.full(shape, fill, dtype=dtype)
+    if out.size == 0:
+        return out
+    grid = [max(1, -(-s // c)) for s, c in zip(shape, chunks)]
+
+    def rec(idx):
+        if len(idx) == len(grid):
+            name = ".".join(map(str, idx))
+            fp = os.path.join(path, name)
+            if not os.path.exists(fp):
+                return
+            raw = open(fp, "rb").read()
+            if meta["compressor"] is not None:
+                raw = zlib.decompress(raw)
+            block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+            sel = tuple(slice(i * c, min((i + 1) * c, s))
+                        for i, c, s in zip(idx, chunks, shape))
+            out[sel] = block[tuple(slice(0, sl.stop - sl.start) for sl in sel)]
+            return
+        for i in range(grid[len(idx)]):
+            rec(idx + (i,))
+
+    rec(())
+    return out
+
+
+def read_attrs(path: str) -> dict:
+    fp = os.path.join(path, ".zattrs")
+    if not os.path.exists(fp):
+        return {}
+    with open(fp) as f:
+        return json.load(f)

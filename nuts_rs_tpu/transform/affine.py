@@ -125,6 +125,34 @@ def set_diag(t: AffineTransform, stds: jax.Array, mean: jax.Array,
     )
 
 
+def set_low_rank(t: AffineTransform, stds, mean, vals, vecs, mu_lr,
+                 changed=True) -> AffineTransform:
+    """Replace the full transform (nuts-rs ``LowRankMassMatrix::update``,
+    low_rank.rs:164-190).  ``vals`` are the filtered eigenvalues padded with
+    1.0 (no-op directions); ``changed`` may be a traced per-chain bool.
+
+    log|det J_{F^-1}| = sum(log 1/sigma) - 1/2 sum(log lam)
+    """
+    stds = jnp.where(changed, stds, t.stds)
+    mean = jnp.where(changed, mean, t.mean)
+    vals = jnp.where(changed, vals, jnp.square(t.vals_sqrt))
+    vecs = jnp.where(changed, vecs, t.vecs)
+    mu_lr = jnp.where(changed, mu_lr, t.mu_lr)
+    inv_stds = 1.0 / stds
+    logdet = diag_logdet(inv_stds) - 0.5 * jnp.sum(jnp.log(vals))
+    return t._replace(
+        mean=mean,
+        stds=stds,
+        inv_stds=inv_stds,
+        logdet=logdet,
+        vecs=vecs,
+        vals_sqrt=jnp.sqrt(vals),
+        vals_sqrt_inv=1.0 / jnp.sqrt(vals),
+        mu_lr=mu_lr,
+        id=t.id + jnp.asarray(changed, jnp.int32),
+    )
+
+
 def init_diag_from_grad(t: AffineTransform, q: jax.Array, g: jax.Array,
                         fill_invalid: float = 1.0,
                         clamp=(1e-20, 1e20)) -> AffineTransform:

@@ -1,0 +1,116 @@
+"""Storage backend tests.
+
+Mirrors the readback assertions of nuts-rs ``tests/sample_normal.rs:260-280``
+(Zarr layout: ``posterior/``, ``sample_stats/``, ``warmup_*``, dims
+``["chain","draw"]``, settings in root attrs) and the CSV / Arrow backends.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import nuts_rs_tpu as nt
+from nuts_rs_tpu.models import gaussian
+from nuts_rs_tpu.storage.arrow import ArrowConfig
+from nuts_rs_tpu.storage.csv import CsvConfig
+from nuts_rs_tpu.storage.zarr import ZarrConfig
+from nuts_rs_tpu.storage.zarr_format import read_array, read_attrs
+
+
+@pytest.fixture(scope="module")
+def settings():
+    return nt.DiagNutsSettings(num_tune=70, num_draws=60, num_chains=2, seed=0,
+                               store_divergences=True)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return gaussian.eight_schools()
+
+
+def test_zarr_layout(tmp_path_factory, settings, model):
+    path = str(tmp_path_factory.mktemp("trace") / "trace.zarr")
+    # chunk_size 50 exercises unaligned sampler-chunk -> storage-chunk flushes
+    nt.sample(model, settings, storage=ZarrConfig(path, chunk_draws=32),
+              chunk_size=50)
+
+    # layout (sample_normal.rs:260-280)
+    for group in ["posterior", "sample_stats", "warmup_posterior",
+                  "warmup_sample_stats"]:
+        assert os.path.isdir(os.path.join(path, group)), group
+
+    attrs = read_attrs(path)
+    assert attrs["sampler"] == "nuts"
+    assert attrs["adaptation"] == "diag"
+    s = json.loads(attrs["settings"])
+    assert s["num_tune"] == 70 and s["num_draws"] == 60
+
+    div = read_array(os.path.join(path, "sample_stats", "diverging"))
+    assert div.shape == (2, 60)
+    assert read_attrs(os.path.join(path, "sample_stats", "diverging"))[
+        "_ARRAY_DIMENSIONS"] == ["chain", "draw"]
+
+    logp = read_array(os.path.join(path, "sample_stats", "logp"))
+    assert logp.shape == (2, 60) and np.isfinite(logp).all()
+
+    wlogp = read_array(os.path.join(path, "warmup_sample_stats", "logp"))
+    assert wlogp.shape == (2, 70) and np.isfinite(wlogp).all()
+
+    pos = read_array(os.path.join(path, "posterior", "position"))
+    assert pos.shape == (2, 60, 10) and np.isfinite(pos).all()
+    assert read_attrs(os.path.join(path, "posterior", "position"))[
+        "_ARRAY_DIMENSIONS"] == ["chain", "draw", "unconstrained_parameter"]
+
+    theta = read_array(os.path.join(path, "posterior", "theta"))
+    assert theta.shape == (2, 60, 8)
+    assert read_attrs(os.path.join(path, "posterior", "theta"))[
+        "_ARRAY_DIMENSIONS"] == ["chain", "draw", "school"]
+    school = read_array(os.path.join(path, "posterior", "school"))
+    np.testing.assert_array_equal(school, np.arange(8))
+
+
+def test_zarr_matches_memory(tmp_path, settings, model):
+    # The zarr trace must contain exactly the same draws as the in-memory one.
+    path = str(tmp_path / "t.zarr")
+    nt.sample(model, settings, storage=ZarrConfig(path, chunk_draws=16),
+              chunk_size=40)
+    mem = nt.sample(model, settings, chunk_size=64)
+    pos = read_array(os.path.join(path, "posterior", "position"))
+    np.testing.assert_allclose(pos, mem.posterior["position"], atol=0)
+
+
+def test_csv_backend(tmp_path, settings, model):
+    d = str(tmp_path / "csv")
+    nt.sample(model, settings, storage=CsvConfig(d), chunk_size=50)
+    files = sorted(os.listdir(d))
+    assert files == ["chain_0.csv", "chain_1.csv"]
+    lines = open(os.path.join(d, "chain_0.csv")).read().strip().split("\n")
+    header = lines[0].split(",")
+    assert header[0] == "sample_id"
+    assert "logp" in header and "diverging" in header
+    # cartesian-product tensor columns, 1-based
+    assert "position.1" in header and "position.10" in header
+    assert "theta.1" in header and "theta.8" in header
+    assert len(lines) == 1 + 70 + 60
+    first_id = int(lines[1].split(",")[0])
+    assert first_id == -70  # warmup draws are negative sample ids
+    last_id = int(lines[-1].split(",")[0])
+    assert last_id == 59
+
+
+def test_arrow_backend(settings, model):
+    res = nt.sample(model, settings, storage=ArrowConfig(), chunk_size=50)
+    post = res["posterior"]
+    warm = res["warmup"]
+    assert post.num_rows == 2 * 60
+    assert warm.num_rows == 2 * 70
+    assert "position" in post.column_names
+    assert "theta" in post.column_names
+    import pyarrow as pa
+
+    field = post.schema.field("position")
+    assert field.metadata[b"shape"] == b"[10]"
+    chains = post.column("chain").to_numpy()
+    assert set(chains.tolist()) == {0, 1}
