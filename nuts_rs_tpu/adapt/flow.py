@@ -175,5 +175,23 @@ class FlowStrategy:
                                     mask)
 
         params = jax.vmap(refit)(keys, state.transform.params, state.extra)
+
+        # Safety: a refit that cannot represent the chain's CURRENT point
+        # (non-finite z / zg / logdet) would wedge the chain — every further
+        # draw would diverge on its first step and never move.  Keep the old
+        # parameters for such chains.
+        def current_ok(params_c, q, g):
+            t = FlowTransform(params=params_c, id=jnp.int32(0))
+            z, zg, logdet = self.ops.eval_from_q(t, q, g, None)
+            return (jnp.all(jnp.isfinite(z)) & jnp.all(jnp.isfinite(zg))
+                    & jnp.isfinite(logdet))
+
+        ok = jax.vmap(current_ok)(params, state.pt.q, state.pt.g)
+
+        def select(new, old):
+            shape = (ok.shape[0],) + (1,) * (new.ndim - 1)
+            return jnp.where(ok.reshape(shape), new, old)
+
+        params = jax.tree.map(select, params, state.transform.params)
         transform = FlowTransform(params=params, id=state.transform.id + 1)
         return state._replace(transform=transform)

@@ -81,7 +81,11 @@ class CouplingFlowConfig:
     hidden: int = 32
     train_steps: int = 200
     learning_rate: float = 1e-3
-    max_scale: float = 4.0  # tanh clamp on log-scales for stability
+    max_scale: float = 4.0   # tanh clamp on log-scales
+    max_shift: float = 30.0  # tanh clamp on shifts
+    # Both clamps make every layer (and its inverse and logdet) globally
+    # bounded, so no point in parameter space can produce non-finite
+    # energies — a chain can recover from a bad region instead of wedging.
 
 
 def _mlp_apply(w, x):
@@ -96,7 +100,7 @@ def _layer_forward(layer, cfg, z):
     raw = _mlp_apply(layer["net"], z_pass)
     d = z.shape[-1]
     s = cfg.max_scale * jnp.tanh(raw[:d] / cfg.max_scale) * (1.0 - mask)
-    t = raw[d:] * (1.0 - mask)
+    t = cfg.max_shift * jnp.tanh(raw[d:] / cfg.max_shift) * (1.0 - mask)
     q = z_pass + (1.0 - mask) * (z * jnp.exp(s) + t)
     return q, jnp.sum(s)
 
@@ -107,7 +111,7 @@ def _layer_inverse(layer, cfg, q):
     raw = _mlp_apply(layer["net"], q_pass)
     d = q.shape[-1]
     s = cfg.max_scale * jnp.tanh(raw[:d] / cfg.max_scale) * (1.0 - mask)
-    t = raw[d:] * (1.0 - mask)
+    t = cfg.max_shift * jnp.tanh(raw[d:] / cfg.max_shift) * (1.0 - mask)
     z = q_pass + (1.0 - mask) * ((q - t) * jnp.exp(-s))
     return z, jnp.sum(s)
 
@@ -184,11 +188,18 @@ def coupling_flow(cfg: CouplingFlowConfig = CouplingFlowConfig()) -> FlowSpec:
         (new_params, _), losses = jax.lax.scan(
             step, (params, opt_state), None, length=cfg.train_steps)
 
-        # Keep the refit only if it is finite and there was data.
+        # Monotone acceptance: keep the refit only if it is finite, there was
+        # data, and it actually lowered the Fisher loss on the window — a
+        # diverged Adam run must never replace a working transform (a bad
+        # accepted refit can wedge the chain: every subsequent leapfrog
+        # diverges and the sampler stops moving).
+        old_loss = fisher_loss(params, draws, grads, mask)
+        new_loss = fisher_loss(new_params, draws, grads, mask)
         finite = jnp.all(jnp.asarray(
             [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(new_params)]))
         enough = jnp.sum(mask) >= 10
-        ok = finite & enough
+        improved = jnp.isfinite(new_loss) & (new_loss < old_loss)
+        ok = finite & enough & improved
         return jax.tree.map(lambda new, old: jnp.where(ok, new, old),
                             new_params, params)
 

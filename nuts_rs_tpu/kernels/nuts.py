@@ -228,7 +228,10 @@ def nuts_draw(
         return ~c.done & (c.extra_mode | (c.depth < maxdepth_dyn))
 
     def body(c: _Carry) -> _Carry:
-        key, k_sel, k_acc, k_dir = jax.random.split(c.key, 4)
+        # One threefry call per iteration: 3 uniforms cover the within-subtree
+        # selection, the top-level biased acceptance, and the next direction.
+        key, k_r = jax.random.split(c.key)
+        rand3 = jax.random.uniform(k_r, (3,), dtype=dtype)
 
         res = leapfrog(
             c.p_edge, c.direction, step_size, transform, logp_grad_fn,
@@ -266,8 +269,7 @@ def nuts_draw(
         is_first = c.leaf == 0
         logw_sub = jnp.where(is_first, logw_leaf,
                              jnp.logaddexp(c.logw_sub, logw_leaf))
-        u = jax.random.uniform(k_sel, dtype=dtype)
-        take_leaf = is_first | (jnp.log(u) < logw_leaf - logw_sub)
+        take_leaf = is_first | (jnp.log(rand3[0]) < logw_leaf - logw_sub)
         draw_sub = point_where(take_leaf, new_pt, c.draw_sub)
 
         # --- stack writes ---
@@ -283,23 +285,29 @@ def nuts_draw(
         mid_idx = c.mid_idx.at[row_mid].set(new_pt.idx)
 
         # --- internal U-turn checks for completed spans (levels 1..tz(leaf+1)) ---
-        def check_level(j, turning_acc):
-            active = j <= tz_next
-            s = c.leaf + 1 - (jnp.int32(1) << j)           # span left end
-            row_s = jnp.minimum(trailing_zeros(s, cap=D), D)
-            zl, vl, il = left_z[row_s], left_v[row_s], left_idx[row_s]
-            t1 = is_turning(zl, vl, il, new_pt.z, new_pt.v, new_pt.idx)
-            zm, vm, im = mid_z[j], mid_v[j], mid_idx[j]
-            t2 = is_turning(zm, vm, im, new_pt.z, new_pt.v, new_pt.idx)
-            s2 = c.leaf + 1 - (jnp.int32(1) << (j - 1))    # B's left end
-            row_s2 = jnp.minimum(trailing_zeros(s2, cap=D), D)
-            t3 = is_turning(zl, vl, il, left_z[row_s2], left_v[row_s2],
-                            left_idx[row_s2])
-            t = t1 | ((j >= 2) & (t2 | t3))
-            return turning_acc | (active & t)
+        # Vectorized over all D levels at once: three batched turning checks
+        # (two [D, d] gathers + masked row-reductions) instead of a sequential
+        # fori of dynamic slices — the per-leaf bookkeeping must stay O(few
+        # fused ops) because it sits on the critical path of every leapfrog.
+        j_levels = jnp.arange(1, D + 1, dtype=jnp.int32)           # [D]
+        s_vec = c.leaf + 1 - (jnp.int32(1) << j_levels)            # A left ends
+        rows_a = jnp.minimum(trailing_zeros(s_vec, cap=D), D)
+        s2_vec = c.leaf + 1 - (jnp.int32(1) << (j_levels - 1))     # B left ends
+        rows_b = jnp.minimum(trailing_zeros(s2_vec, cap=D), D)
 
-        turning_int = jax.lax.fori_loop(
-            1, D + 1, check_level, jnp.asarray(False)) & c.check_this
+        a_z, a_v, a_i = left_z[rows_a], left_v[rows_a], left_idx[rows_a]
+        b_z, b_v, b_i = left_z[rows_b], left_v[rows_b], left_idx[rows_b]
+        m_z, m_v, m_i = mid_z[1:], mid_v[1:], mid_idx[1:]
+
+        batched_turning = jax.vmap(is_turning,
+                                   in_axes=(0, 0, 0, None, None, None))
+        t1 = batched_turning(a_z, a_v, a_i, new_pt.z, new_pt.v, new_pt.idx)
+        t2 = batched_turning(m_z, m_v, m_i, new_pt.z, new_pt.v, new_pt.idx)
+        t3 = jax.vmap(is_turning)(a_z, a_v, a_i, b_z, b_v, b_i)
+
+        active = j_levels <= tz_next
+        level_turn = t1 | ((j_levels >= 2) & (t2 | t3))
+        turning_int = jnp.any(active & level_turn) & c.check_this
 
         subtree_complete = (c.leaf + 1) == (jnp.int32(1) << c.depth)
 
@@ -316,9 +324,8 @@ def nuts_draw(
             t_outer | ((c.depth > 0) & (t_near | t_b0)))
 
         # --- biased progressive sampling at the top level (nuts.rs:191-202) ---
-        u2 = jax.random.uniform(k_acc, dtype=dtype)
         take_sub = (logw_sub >= c.logw_main) | (
-            jnp.log(u2) < logw_sub - c.logw_main)
+            jnp.log(rand3[1]) < logw_sub - c.logw_main)
 
         do_merge = subtree_complete & ~diverged & ~turning_int
         merge_take = do_merge & take_sub
@@ -348,8 +355,7 @@ def nuts_draw(
         # --- next-iteration bookkeeping ---
         new_doubling = do_merge | turning_int
         leaf = jnp.where(new_doubling, jnp.int32(0), c.leaf + 1)
-        new_dir = jnp.where(jax.random.bernoulli(k_dir),
-                            jnp.int32(1), jnp.int32(-1))
+        new_dir = jnp.where(rand3[2] < 0.5, jnp.int32(1), jnp.int32(-1))
         direction = jnp.where(new_doubling, new_dir, c.direction)
         check_next = (jnp.asarray(opts.check_turning)
                       & (depth >= mindepth_dyn)

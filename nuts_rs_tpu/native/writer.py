@@ -1,0 +1,101 @@
+"""ctypes bindings + on-demand build for the native async trace writer."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "trace_writer.cpp")
+_LIB = os.path.join(_HERE, "_trace_writer.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        _SRC, "-o", _LIB, "-lz",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+        except (OSError, subprocess.CalledProcessError) as e:
+            _build_error = str(e)
+            return None
+        lib.tw_create.restype = ctypes.c_void_p
+        lib.tw_create.argtypes = [ctypes.c_size_t, ctypes.c_int]
+        lib.tw_write.restype = None
+        lib.tw_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                 ctypes.c_void_p, ctypes.c_size_t,
+                                 ctypes.c_int]
+        lib.tw_flush.restype = None
+        lib.tw_flush.argtypes = [ctypes.c_void_p]
+        lib.tw_error.restype = ctypes.c_char_p
+        lib.tw_error.argtypes = [ctypes.c_void_p]
+        lib.tw_destroy.restype = None
+        lib.tw_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class AsyncTraceWriter:
+    """Bounded-queue async file writer backed by the C++ worker pool.
+
+    ``write(path, data, compress_level)`` enqueues and returns immediately;
+    it blocks only when ``max_queue`` chunks are already in flight
+    (backpressure, mirroring nuts-rs ``async_impl.rs:365-400``).
+    """
+
+    def __init__(self, max_queue: int = 64, n_threads: int = 2):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                f"native trace writer unavailable: {_build_error}")
+        self._lib = lib
+        self._handle = lib.tw_create(max_queue, n_threads)
+
+    def write(self, path: str, data: bytes, compress_level: int = 1) -> None:
+        self._lib.tw_write(self._handle, path.encode(), data, len(data),
+                           compress_level)
+
+    def write_raw(self, path: str, data: bytes) -> None:
+        self._lib.tw_write(self._handle, path.encode(), data, len(data), -1)
+
+    def flush(self) -> None:
+        self._lib.tw_flush(self._handle)
+        err = self._lib.tw_error(self._handle)
+        if err:
+            raise IOError(err.decode())
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self.flush()
+            self._lib.tw_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None) is not None:
+                self._lib.tw_destroy(self._handle)
+                self._handle = None
+        except Exception:
+            pass

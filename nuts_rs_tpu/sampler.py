@@ -440,6 +440,23 @@ class Sampler:
             self.run_next_chunk()
         return self.trace.finalize()
 
+    # ---- checkpoint / resume (capability absent from the reference;
+    # SURVEY.md §5 recommends adding it since device state is one pytree) ----
+
+    def checkpoint(self, path: str) -> None:
+        """Save the full device state; a Sampler built with the same
+        settings can ``restore`` and continue bit-identically."""
+        from .checkpoint import save_state
+
+        save_state(path, self.state, self._next_draw)
+
+    def restore(self, path: str) -> None:
+        from .checkpoint import load_state
+
+        state, next_draw = load_state(path, self.state)
+        self.state = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+        self._next_draw = next_draw
+
     def inspect(self):
         return self.trace.inspect()
 

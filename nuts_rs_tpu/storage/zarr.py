@@ -38,8 +38,9 @@ class _GroupBuffer:
     """Per-group draw buffer flushed as aligned (1, chunk_draws, ...) chunks."""
 
     def __init__(self, group: ZarrGroup, num_chains: int, total_draws: int,
-                 chunk_draws: int):
+                 chunk_draws: int, writer=None):
         self.group = group
+        self.writer = writer
         self.num_chains = num_chains
         self.total = total_draws
         self.chunk_draws = chunk_draws
@@ -61,6 +62,7 @@ class _GroupBuffer:
             chunks=(1, self.chunk_draws) + tail_shape,
             dtype=dtype,
             dims=["chain", "draw"] + list(dims_tail),
+            writer=self.writer,
         )
         self.pending[name] = []
 
@@ -105,8 +107,18 @@ class _GroupBuffer:
 
 class ZarrStorage(TraceStorage):
     def __init__(self, path: str, settings, model, num_chains: int,
-                 chunk_draws: int = 100):
+                 chunk_draws: int = 100, async_writes: bool = True,
+                 max_queued_writes: int = 64, writer_threads: int = 2):
         self.path = path
+        self._writer = None
+        if async_writes:
+            # Native async writer (C++ worker pool with bounded queue); falls
+            # back silently to synchronous Python writes if g++ is missing.
+            from ..native import AsyncTraceWriter, native_available
+
+            if native_available():
+                self._writer = AsyncTraceWriter(max_queued_writes,
+                                                writer_threads)
         self.settings = settings
         self.model = model
         num_tune = getattr(settings, "num_tune", 0)
@@ -124,7 +136,8 @@ class ZarrStorage(TraceStorage):
         }
         self.root = ZarrGroup(path, attrs)
         mk = lambda name, total: _GroupBuffer(
-            self.root.group(name), num_chains, total, chunk_draws)
+            self.root.group(name), num_chains, total, chunk_draws,
+            writer=self._writer)
         self.groups = {
             ("posterior", False): mk("posterior", num_draws),
             ("sample_stats", False): mk("sample_stats", num_draws),
@@ -245,6 +258,9 @@ class ZarrStorage(TraceStorage):
         for buf in self.groups.values():
             buf.flush_remainder()
         self._write_events()
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
         return self.path
 
     def flush(self):
@@ -252,6 +268,8 @@ class ZarrStorage(TraceStorage):
         # written once); partial tails stay buffered until finalize.
         for buf in self.groups.values():
             buf.end_batch(0)
+        if self._writer is not None:
+            self._writer.flush()
 
     def inspect(self):
         return self.path
@@ -278,11 +296,20 @@ def _settings_json(settings) -> str:
 
 @dataclasses.dataclass
 class ZarrConfig(StorageConfig):
-    """nuts-rs ``ZarrConfig`` equivalent: write the trace to ``path``."""
+    """nuts-rs ``ZarrConfig`` equivalent: write the trace to ``path``.
+
+    ``async_writes`` routes chunk compression + I/O through the native C++
+    worker pool with ``max_queued_writes`` backpressure (the reference's
+    async zarr backend, ``src/storage/zarr/async_impl.rs``)."""
 
     path: str
     chunk_draws: int = 100
+    async_writes: bool = True
+    max_queued_writes: int = 64
+    writer_threads: int = 2
 
     def new_trace(self, settings, model, num_chains):
         return ZarrStorage(self.path, settings, model, num_chains,
-                           self.chunk_draws)
+                           self.chunk_draws, async_writes=self.async_writes,
+                           max_queued_writes=self.max_queued_writes,
+                           writer_threads=self.writer_threads)

@@ -54,9 +54,10 @@ class ZarrGroup:
     def array(self, name: str, shape, chunks, dtype,
               dims: Optional[Sequence[str]] = None,
               attrs: Optional[Mapping[str, Any]] = None,
-              compress: bool = True) -> "ZarrArray":
+              compress: bool = True, writer=None) -> "ZarrArray":
         return ZarrArray(os.path.join(self.path, name), shape, chunks, dtype,
-                         dims=dims, attrs=attrs, compress=compress)
+                         dims=dims, attrs=attrs, compress=compress,
+                         writer=writer)
 
     def write_full_array(self, name: str, data: np.ndarray,
                          dims: Optional[Sequence[str]] = None):
@@ -71,8 +72,9 @@ class ZarrGroup:
 
 class ZarrArray:
     def __init__(self, path, shape, chunks, dtype, dims=None, attrs=None,
-                 compress=True):
+                 compress=True, writer=None):
         self.path = path
+        self.writer = writer  # optional native AsyncTraceWriter
         self.shape = tuple(int(s) for s in shape)
         self.chunks = tuple(int(c) for c in chunks)
         self.dtype = np.dtype(dtype)
@@ -118,10 +120,15 @@ class ZarrArray:
             pad[tuple(slice(0, s) for s in data.shape)] = data
             data = pad
         raw = data.tobytes(order="C")
+        name = ".".join(str(int(i)) for i in chunk_index)
+        target = os.path.join(self.path, name)
+        if self.writer is not None:
+            # Compression + I/O happen on the native worker threads.
+            self.writer.write(target, raw, 1 if self.compress else -1)
+            return
         if self.compress:
             raw = zlib.compress(raw, 1)
-        name = ".".join(str(int(i)) for i in chunk_index)
-        with open(os.path.join(self.path, name), "wb") as f:
+        with open(target, "wb") as f:
             f.write(raw)
 
 

@@ -91,3 +91,32 @@ def test_chains_differ():
     d = t.posterior["position"]
     assert not np.allclose(d[0], d[1])
     assert not np.allclose(d[1], d[2])
+
+
+def test_checkpoint_resume(tmp_path):
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+
+    model = g.normal_logp(4, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=40, num_draws=40, num_chains=2,
+                                   seed=11)
+    # uninterrupted run
+    full = nt.sample(model, settings, chunk_size=20)
+
+    # interrupted at draw 40, checkpointed, resumed in a fresh sampler
+    s1 = nt.Sampler(model, settings, chunk_size=20)
+    s1.run_next_chunk()
+    s1.run_next_chunk()
+    ckpt = str(tmp_path / "state.npz")
+    s1.checkpoint(ckpt)
+
+    s2 = nt.Sampler(model, settings, chunk_size=20)
+    s2.restore(ckpt)
+    assert s2._next_draw == 40
+    while not s2.finished:
+        s2.run_next_chunk()
+    resumed = s2.trace.finalize()
+
+    # resumed posterior must be bit-identical to the uninterrupted run
+    np.testing.assert_array_equal(resumed.posterior["position"],
+                                  full.posterior["position"])
