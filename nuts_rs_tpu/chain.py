@@ -389,3 +389,67 @@ def make_mclmc_draw_step(model, strategy, config: ChainConfig, mopts):
         return state, stats
 
     return draw_step
+
+
+def make_async_posterior_runner(model, strategy, config: ChainConfig,
+                                phase_start: int = 0):
+    """Posterior-phase runner on the draw-asynchronous kernel.
+
+    Signature matches the scan-based runners: ``(state, flags) -> (state,
+    stats)`` with ``stats[name]`` shaped [k, C, ...].  Only usable when the
+    transform is frozen and no per-leapfrog extras (gradients, divergence
+    dumps, mass-matrix stats) are requested.
+    """
+    from .kernels.nuts_async import nuts_run_async
+
+    logp_grad = model.logp_and_grad
+    sset = config.step_size
+    ops = getattr(strategy, "ops", AFFINE_OPS)
+
+    def runner(state: ChainState, flags):
+        k = flags["is_tuning"].shape[0]
+        bars = jax.vmap(partial(ss.step_size_bar, settings=sset))(state.step)
+
+        # Chunk-invariant RNG: per-draw keys are fold_in(chain_key,
+        # global_draw_index); state.keys stays fixed across async chunks.
+        jitter_first = state.draw_idx != phase_start
+        last_pt, out = jax.vmap(
+            lambda key, pt, t, step, bar: nuts_run_async(
+                key, pt, t, step, bar, k, logp_grad, config.nuts,
+                sset.jitter, draw_offset=state.draw_idx,
+                jitter_first=jitter_first, ops=ops)
+        )(state.keys, state.pt, state.transform, state.step.step_size, bars)
+
+        state = state._replace(
+            pt=last_pt,
+            step=state.step._replace(step_size=out.step_size[:, -1]),
+            draw_idx=state.draw_idx + k,
+        )
+
+        def t(x):  # [C, k, ...] -> [k, C, ...]
+            return jnp.moveaxis(x, 0, 1)
+
+        n = jnp.maximum(out.n_steps.astype(out.sum_accept.dtype), 1.0)
+        stats = {
+            "position": t(out.position),
+            "depth": t(out.depth),
+            "maxdepth_reached": t(out.maxdepth_reached),
+            "diverging": t(out.diverging),
+            "n_steps": t(out.n_steps),
+            "step_size": t(out.step_size),
+            "step_size_bar": jnp.broadcast_to(bars[None, :], (k,) + bars.shape),
+            "mean_tree_accept": t(out.sum_accept / n),
+            "mean_tree_accept_sym": t(out.sum_accept_sym / n),
+            "max_energy_error": t(out.max_energy_error),
+            "logp": t(out.logp),
+            "energy": t(out.energy),
+            "energy_error": t(out.energy_error),
+            "index_in_trajectory": t(out.idx_in_trajectory),
+            "fisher_distance": t(out.fisher_distance),
+            "transformation_index": jnp.broadcast_to(
+                state.transform.id[None, :], (k,) + state.transform.id.shape),
+            "tuning": jnp.zeros((k,) + out.diverging.shape[:1], bool),
+        }
+        return state, stats
+
+    return runner

@@ -111,6 +111,10 @@ class NutsInfo(NamedTuple):
 
 class _Carry(NamedTuple):
     key: jax.Array
+    step_size: jax.Array      # step size for this draw
+    initial_energy: jax.Array
+    mindepth_dyn: jax.Array   # i32
+    maxdepth_dyn: jax.Array   # i32
     depth: jax.Array          # i32 current main-tree depth
     leaf: jax.Array           # i32 leaf index within current subtree
     direction: jax.Array      # i32 +-1
@@ -124,10 +128,8 @@ class _Carry(NamedTuple):
     logw_sub: jax.Array
     left_z: jax.Array         # [D+1, d]
     left_v: jax.Array
-    left_idx: jax.Array       # [D+1] i32
     mid_z: jax.Array
     mid_v: jax.Array
-    mid_idx: jax.Array
     done: jax.Array
     diverging: jax.Array
     turning: jax.Array
@@ -152,6 +154,264 @@ def _empty_div_info(dim, dtype):
     )
 
 
+def _dyn_depths(opts: NutsOptions, step_size):
+    """target_integration_time -> dynamic (mindepth, maxdepth); nuts.rs:300-320."""
+    D = opts.maxdepth
+    if opts.target_integration_time is not None:
+        max_steps = jnp.ceil(opts.target_integration_time / step_size)
+        log2_steps = jnp.log2(jnp.maximum(max_steps, 1.0))
+        mindepth_dyn = jnp.maximum(
+            jnp.floor(log2_steps).astype(jnp.int32), jnp.int32(opts.mindepth))
+        maxdepth_dyn = jnp.minimum(
+            jnp.maximum(jnp.ceil(log2_steps).astype(jnp.int32), mindepth_dyn),
+            jnp.int32(D))
+    else:
+        mindepth_dyn = jnp.int32(opts.mindepth)
+        maxdepth_dyn = jnp.int32(D)
+    return mindepth_dyn, maxdepth_dyn
+
+
+def _init_tree_carry(key, pt0, step_size, opts: NutsOptions, rand_dir):
+    """Fresh per-draw tree state from an initialized (momentum-refreshed) point."""
+    D = opts.maxdepth
+    dim = pt0.q.shape[-1]
+    dtype = pt0.q.dtype
+    mindepth_dyn, maxdepth_dyn = _dyn_depths(opts, step_size)
+    dir0 = jnp.where(rand_dir < 0.5, jnp.int32(1), jnp.int32(-1))
+    z_stack = jnp.zeros((D + 1, dim), dtype)
+    return _Carry(
+        key=key,
+        step_size=step_size,
+        initial_energy=pt0.energy,
+        mindepth_dyn=mindepth_dyn,
+        maxdepth_dyn=maxdepth_dyn,
+        depth=jnp.int32(0),
+        leaf=jnp.int32(0),
+        direction=dir0,
+        check_this=jnp.asarray(opts.check_turning) & (jnp.int32(0) >= mindepth_dyn),
+        p_minus=pt0, p_plus=pt0, p_edge=pt0,
+        draw_main=pt0, logw_main=jnp.zeros((), dtype),
+        draw_sub=pt0, logw_sub=jnp.full((), -jnp.inf, dtype),
+        left_z=z_stack, left_v=z_stack,
+        mid_z=z_stack, mid_v=z_stack,
+        done=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+        turning=jnp.asarray(False),
+        extra_mode=jnp.asarray(False),
+        extras_left=jnp.int32(opts.extra_doublings),
+        n_steps=jnp.int32(0),
+        sum_accept=jnp.zeros((), dtype),
+        sum_accept_sym=jnp.zeros((), dtype),
+        max_energy_error=jnp.zeros((), dtype),
+        div_info=_empty_div_info(dim, dtype),
+    )
+
+
+def _tree_finished(c: _Carry):
+    return c.done | (~c.extra_mode & (c.depth >= c.maxdepth_dyn))
+
+
+def _tree_body(c: _Carry, transform, logp_grad_fn, opts: NutsOptions,
+               ops) -> _Carry:
+    """One leapfrog + all tree bookkeeping (the shared hot loop body)."""
+    D = opts.maxdepth
+    dtype = c.p_edge.q.dtype
+    initial_energy = c.initial_energy
+
+    # One threefry call per iteration: 3 uniforms cover the within-subtree
+    # selection, the top-level biased acceptance, and the next direction.
+    key, k_r = jax.random.split(c.key)
+    rand3 = jax.random.uniform(k_r, (3,), dtype=dtype)
+
+    res = leapfrog(
+        c.p_edge, c.direction, c.step_size, transform, logp_grad_fn,
+        opts.kind, initial_energy, opts.max_energy_error, ops=ops,
+    )
+    new_pt, diverged = res.point, res.diverging
+
+    # --- acceptance statistics (AcceptanceRateCollector, dual_avg.rs:130-158) ---
+    diff = initial_energy - new_pt.energy
+    acc = jnp.exp(jnp.minimum(diff, 0.0))
+    acc_sym = 2.0 * acc / (1.0 + jnp.exp(diff))
+    sum_accept = c.sum_accept + jnp.where(diverged, 0.0, acc)
+    sum_accept_sym = c.sum_accept_sym + jnp.where(diverged, 0.0, acc_sym)
+    n_steps = c.n_steps + 1
+    max_err = jnp.where(
+        diverged,
+        -jnp.inf,
+        jnp.where(jnp.abs(diff) > jnp.abs(c.max_energy_error), diff,
+                  c.max_energy_error),
+    )
+
+    div_info = DivergenceInfo(
+        start_location=c.p_edge.q,
+        start_gradient=c.p_edge.g,
+        end_location=new_pt.q,
+        energy_error=res.energy_error,
+        start_idx=c.p_edge.idx,
+        end_idx=new_pt.idx,
+    )
+    div_info = jax.tree.map(
+        lambda new, old: jnp.where(diverged, new, old), div_info, c.div_info)
+
+    # --- progressive multinomial within the subtree ---
+    logw_leaf = -res.energy_error
+    is_first = c.leaf == 0
+    logw_sub = jnp.where(is_first, logw_leaf,
+                         jnp.logaddexp(c.logw_sub, logw_leaf))
+    take_leaf = is_first | (jnp.log(rand3[0]) < logw_leaf - logw_sub)
+    draw_sub = point_where(take_leaf, new_pt, c.draw_sub)
+
+    # --- stack writes ---
+    tz_leaf = trailing_zeros(c.leaf, cap=D)
+    row_left = jnp.minimum(tz_leaf, D)
+    left_z = c.left_z.at[row_left].set(new_pt.z)
+    left_v = c.left_v.at[row_left].set(new_pt.v)
+    tz_next = trailing_zeros(c.leaf + 1, cap=D)
+    row_mid = jnp.minimum(tz_next + 1, D)  # level this leaf is midpoint of
+    mid_z = c.mid_z.at[row_mid].set(new_pt.z)
+    mid_v = c.mid_v.at[row_mid].set(new_pt.v)
+
+    # --- internal U-turn checks for completed spans (levels 1..tz(leaf+1)) ---
+    # Vectorized over all D levels at once.  Two hardware facts shape this:
+    # (1) traced-index gathers lower to pathologically slow TPU loops, so the
+    # stack rows are selected with one-hot contractions (MXU matmuls);
+    # (2) trajectory-index ordering is not needed — within a doubling every
+    # state was created along ``direction``, so the reference's sorted
+    # criterion (transformed_hamiltonian.rs:617-638) reduces to
+    #   turning(old, new) = (dir*(z_new-z_old) . v_old < 0)
+    #                     | (dir*(z_new-z_old) . v_new < 0)
+    # for states in creation order, eliminating index stacks entirely.
+    dir_f = c.direction.astype(dtype)
+
+    def turning_dir(z_old, v_old, z_new, v_new):
+        dz = (z_new - z_old) * dir_f
+        t1 = jnp.sum(dz * v_old, axis=-1)
+        t2 = jnp.sum(dz * v_new, axis=-1)
+        return (t1 < 0.0) | (t2 < 0.0)
+
+    j_levels = jnp.arange(1, D + 1, dtype=jnp.int32)           # [D]
+    s_vec = c.leaf + 1 - (jnp.int32(1) << j_levels)            # A left ends
+    rows_a = jnp.minimum(trailing_zeros(s_vec, cap=D), D)
+    s2_vec = c.leaf + 1 - (jnp.int32(1) << (j_levels - 1))     # B left ends
+    rows_b = jnp.minimum(trailing_zeros(s2_vec, cap=D), D)
+
+    oh_a = jax.nn.one_hot(rows_a, D + 1, dtype=dtype)          # [D, D+1]
+    oh_b = jax.nn.one_hot(rows_b, D + 1, dtype=dtype)
+    a_z = oh_a @ left_z                                        # [D, d]
+    a_v = oh_a @ left_v
+    b_z = oh_b @ left_z
+    b_v = oh_b @ left_v
+    m_z, m_v = mid_z[1:], mid_v[1:]
+
+    t1 = turning_dir(a_z, a_v, new_pt.z[None, :], new_pt.v[None, :])
+    t2 = turning_dir(m_z, m_v, new_pt.z[None, :], new_pt.v[None, :])
+    t3 = turning_dir(a_z, a_v, b_z, b_v)   # B's left end is created after A's
+
+    active = j_levels <= tz_next
+    level_turn = t1 | ((j_levels >= 2) & (t2 | t3))
+    turning_int = jnp.any(active & level_turn) & c.check_this
+
+    subtree_complete = (c.leaf + 1) == (jnp.int32(1) << c.depth)
+
+    # --- top-level merge checks (nuts.rs:143-161 at the outermost call) ---
+    # far_end/near_end are the trajectory endpoints opposite/along the current
+    # direction; only (z, v) are needed for the checks.
+    fwd = c.direction > 0
+    far_z = jnp.where(fwd, c.p_minus.z, c.p_plus.z)
+    far_v = jnp.where(fwd, c.p_minus.v, c.p_plus.v)
+    near_z = jnp.where(fwd, c.p_plus.z, c.p_minus.z)
+    near_v = jnp.where(fwd, c.p_plus.v, c.p_minus.v)
+    b0_z, b0_v = left_z[D], left_v[D]
+    t_outer = turning_dir(far_z, far_v, new_pt.z, new_pt.v)
+    t_near = turning_dir(near_z, near_v, new_pt.z, new_pt.v)
+    t_b0 = turning_dir(far_z, far_v, b0_z, b0_v)
+    turning_top = c.check_this & (
+        t_outer | ((c.depth > 0) & (t_near | t_b0)))
+
+    # --- biased progressive sampling at the top level (nuts.rs:191-202) ---
+    take_sub = (logw_sub >= c.logw_main) | (
+        jnp.log(rand3[1]) < logw_sub - c.logw_main)
+
+    do_merge = subtree_complete & ~diverged & ~turning_int
+    merge_take = do_merge & take_sub
+    draw_main = point_where(merge_take, draw_sub, c.draw_main)
+    logw_main = jnp.where(do_merge,
+                          jnp.logaddexp(c.logw_main, logw_sub), c.logw_main)
+    p_plus = point_where(do_merge & (c.direction > 0), new_pt, c.p_plus)
+    p_minus = point_where(do_merge & (c.direction < 0), new_pt, c.p_minus)
+
+    depth = c.depth + jnp.asarray(do_merge, jnp.int32)
+    # Extra doublings (nuts.rs:350-370): after ANY top-level Turning result
+    # — whether from the across-trees check (merged) or from a turning
+    # inside the unfinished subtree (discarded, no merge) — keep doubling
+    # with checks off for opts.extra_doublings rounds.
+    turned_now = turning_int | (do_merge & turning_top)
+    enter_extra = turned_now & (jnp.int32(opts.extra_doublings) > 0)
+    extras_left = jnp.where(
+        c.extra_mode & do_merge, c.extras_left - 1, c.extras_left)
+    extra_mode = c.extra_mode | enter_extra
+
+    done = (c.done | diverged
+            | (turned_now & ~enter_extra)
+            | (c.extra_mode & do_merge & (extras_left <= 0)))
+    turning = c.turning | turned_now
+    diverging = c.diverging | diverged
+
+    # --- next-iteration bookkeeping ---
+    new_doubling = do_merge | turning_int
+    leaf = jnp.where(new_doubling, jnp.int32(0), c.leaf + 1)
+    new_dir = jnp.where(rand3[2] < 0.5, jnp.int32(1), jnp.int32(-1))
+    direction = jnp.where(new_doubling, new_dir, c.direction)
+    check_next = (jnp.asarray(opts.check_turning)
+                  & (depth >= c.mindepth_dyn)
+                  & ~extra_mode)
+    check_this = jnp.where(new_doubling, check_next, c.check_this)
+    # After a completed doubling the next leapfrog starts from the
+    # endpoint in the freshly sampled direction.
+    edge_after_merge = point_where(new_dir > 0, p_plus, p_minus)
+    p_edge = point_where(new_doubling, edge_after_merge, new_pt)
+
+    return c._replace(
+        key=key, depth=depth, leaf=leaf, direction=direction,
+        check_this=check_this,
+        p_minus=p_minus, p_plus=p_plus, p_edge=p_edge,
+        draw_main=draw_main, logw_main=logw_main,
+        draw_sub=draw_sub, logw_sub=logw_sub,
+        left_z=left_z, left_v=left_v,
+        mid_z=mid_z, mid_v=mid_v,
+        done=done, diverging=diverging, turning=turning,
+        extra_mode=extra_mode, extras_left=extras_left,
+        n_steps=n_steps, sum_accept=sum_accept,
+        sum_accept_sym=sum_accept_sym, max_energy_error=max_err,
+        div_info=div_info,
+    )
+
+
+def _extract_info(final: _Carry) -> tuple[Point, NutsInfo]:
+    reached_max = (~final.done) & (final.depth >= final.maxdepth_dyn)
+    draw = final.draw_main
+    info = NutsInfo(
+        depth=final.depth,
+        reached_maxdepth=reached_max,
+        diverging=final.diverging,
+        turning=final.turning,
+        n_steps=final.n_steps,
+        sum_accept=final.sum_accept,
+        sum_accept_sym=final.sum_accept_sym,
+        max_energy_error=final.max_energy_error,
+        energy=draw.energy,
+        energy_error=draw.energy - final.initial_energy,
+        initial_energy=final.initial_energy,
+        idx_in_trajectory=draw.idx,
+        # DrawGradCollector.is_good (transform/adapt/diagonal.rs:73-84)
+        is_good_for_adapt=jnp.where(
+            final.diverging, jnp.abs(draw.idx) > 4, draw.idx != 0),
+        divergence=final.div_info,
+    )
+    return draw, info
+
+
 def nuts_draw(
     key: jax.Array,
     init_pt: Point,
@@ -167,240 +427,16 @@ def nuts_draw(
     repeated doubling until maxdepth / U-turn / divergence, and collector
     bookkeeping, all in one ``lax.while_loop``.
     """
-    D = opts.maxdepth
-    dim = init_pt.q.shape[-1]
     dtype = init_pt.q.dtype
-
-    key, key_mom = jax.random.split(key)
+    key, key_mom, key_dir = jax.random.split(key, 3)
     pt0 = initialize_trajectory(key_mom, init_pt, transform, opts.kind,
                                 ops=ops, logp_grad_fn=logp_grad_fn)
-    initial_energy = pt0.energy
+    carry = _init_tree_carry(
+        key, pt0, step_size, opts,
+        jax.random.uniform(key_dir, dtype=dtype))
 
-    # target_integration_time -> dynamic (mindepth, maxdepth); nuts.rs:300-320.
-    if opts.target_integration_time is not None:
-        max_steps = jnp.ceil(opts.target_integration_time / step_size)
-        log2_steps = jnp.log2(jnp.maximum(max_steps, 1.0))
-        mindepth_dyn = jnp.maximum(
-            jnp.floor(log2_steps).astype(jnp.int32), jnp.int32(opts.mindepth))
-        maxdepth_dyn = jnp.minimum(
-            jnp.maximum(jnp.ceil(log2_steps).astype(jnp.int32), mindepth_dyn),
-            jnp.int32(D))
-    else:
-        mindepth_dyn = jnp.int32(opts.mindepth)
-        maxdepth_dyn = jnp.int32(D)
-
-    def fresh_stacks():
-        return (
-            jnp.zeros((D + 1, dim), dtype), jnp.zeros((D + 1, dim), dtype),
-            jnp.zeros(D + 1, jnp.int32),
-            jnp.zeros((D + 1, dim), dtype), jnp.zeros((D + 1, dim), dtype),
-            jnp.zeros(D + 1, jnp.int32),
-        )
-
-    key, key_dir = jax.random.split(key)
-    dir0 = jnp.where(jax.random.bernoulli(key_dir), jnp.int32(1), jnp.int32(-1))
-    lz, lv, li, mz, mv, mi = fresh_stacks()
-
-    carry = _Carry(
-        key=key,
-        depth=jnp.int32(0),
-        leaf=jnp.int32(0),
-        direction=dir0,
-        check_this=jnp.asarray(opts.check_turning) & (jnp.int32(0) >= mindepth_dyn),
-        p_minus=pt0, p_plus=pt0, p_edge=pt0,
-        draw_main=pt0, logw_main=jnp.zeros((), dtype),
-        draw_sub=pt0, logw_sub=jnp.full((), -jnp.inf, dtype),
-        left_z=lz, left_v=lv, left_idx=li,
-        mid_z=mz, mid_v=mv, mid_idx=mi,
-        done=jnp.asarray(False),
-        diverging=jnp.asarray(False),
-        turning=jnp.asarray(False),
-        extra_mode=jnp.asarray(False),
-        extras_left=jnp.int32(opts.extra_doublings),
-        n_steps=jnp.int32(0),
-        sum_accept=jnp.zeros((), dtype),
-        sum_accept_sym=jnp.zeros((), dtype),
-        max_energy_error=jnp.zeros((), dtype),
-        div_info=_empty_div_info(dim, dtype),
-    )
-
-    def cond(c: _Carry):
-        return ~c.done & (c.extra_mode | (c.depth < maxdepth_dyn))
-
-    def body(c: _Carry) -> _Carry:
-        # One threefry call per iteration: 3 uniforms cover the within-subtree
-        # selection, the top-level biased acceptance, and the next direction.
-        key, k_r = jax.random.split(c.key)
-        rand3 = jax.random.uniform(k_r, (3,), dtype=dtype)
-
-        res = leapfrog(
-            c.p_edge, c.direction, step_size, transform, logp_grad_fn,
-            opts.kind, initial_energy, opts.max_energy_error, ops=ops,
-        )
-        new_pt, diverged = res.point, res.diverging
-
-        # --- acceptance statistics (AcceptanceRateCollector, dual_avg.rs:130-158) ---
-        diff = initial_energy - new_pt.energy
-        acc = jnp.exp(jnp.minimum(diff, 0.0))
-        acc_sym = 2.0 * acc / (1.0 + jnp.exp(diff))
-        sum_accept = c.sum_accept + jnp.where(diverged, 0.0, acc)
-        sum_accept_sym = c.sum_accept_sym + jnp.where(diverged, 0.0, acc_sym)
-        n_steps = c.n_steps + 1
-        max_err = jnp.where(
-            diverged,
-            -jnp.inf,
-            jnp.where(jnp.abs(diff) > jnp.abs(c.max_energy_error), diff,
-                      c.max_energy_error),
-        )
-
-        div_info = DivergenceInfo(
-            start_location=c.p_edge.q,
-            start_gradient=c.p_edge.g,
-            end_location=new_pt.q,
-            energy_error=res.energy_error,
-            start_idx=c.p_edge.idx,
-            end_idx=new_pt.idx,
-        )
-        div_info = jax.tree.map(
-            lambda new, old: jnp.where(diverged, new, old), div_info, c.div_info)
-
-        # --- progressive multinomial within the subtree ---
-        logw_leaf = -res.energy_error
-        is_first = c.leaf == 0
-        logw_sub = jnp.where(is_first, logw_leaf,
-                             jnp.logaddexp(c.logw_sub, logw_leaf))
-        take_leaf = is_first | (jnp.log(rand3[0]) < logw_leaf - logw_sub)
-        draw_sub = point_where(take_leaf, new_pt, c.draw_sub)
-
-        # --- stack writes ---
-        tz_leaf = trailing_zeros(c.leaf, cap=D)
-        row_left = jnp.minimum(tz_leaf, D)
-        left_z = c.left_z.at[row_left].set(new_pt.z)
-        left_v = c.left_v.at[row_left].set(new_pt.v)
-        left_idx = c.left_idx.at[row_left].set(new_pt.idx)
-        tz_next = trailing_zeros(c.leaf + 1, cap=D)
-        row_mid = jnp.minimum(tz_next + 1, D)  # level this leaf is midpoint of
-        mid_z = c.mid_z.at[row_mid].set(new_pt.z)
-        mid_v = c.mid_v.at[row_mid].set(new_pt.v)
-        mid_idx = c.mid_idx.at[row_mid].set(new_pt.idx)
-
-        # --- internal U-turn checks for completed spans (levels 1..tz(leaf+1)) ---
-        # Vectorized over all D levels at once: three batched turning checks
-        # (two [D, d] gathers + masked row-reductions) instead of a sequential
-        # fori of dynamic slices — the per-leaf bookkeeping must stay O(few
-        # fused ops) because it sits on the critical path of every leapfrog.
-        j_levels = jnp.arange(1, D + 1, dtype=jnp.int32)           # [D]
-        s_vec = c.leaf + 1 - (jnp.int32(1) << j_levels)            # A left ends
-        rows_a = jnp.minimum(trailing_zeros(s_vec, cap=D), D)
-        s2_vec = c.leaf + 1 - (jnp.int32(1) << (j_levels - 1))     # B left ends
-        rows_b = jnp.minimum(trailing_zeros(s2_vec, cap=D), D)
-
-        a_z, a_v, a_i = left_z[rows_a], left_v[rows_a], left_idx[rows_a]
-        b_z, b_v, b_i = left_z[rows_b], left_v[rows_b], left_idx[rows_b]
-        m_z, m_v, m_i = mid_z[1:], mid_v[1:], mid_idx[1:]
-
-        batched_turning = jax.vmap(is_turning,
-                                   in_axes=(0, 0, 0, None, None, None))
-        t1 = batched_turning(a_z, a_v, a_i, new_pt.z, new_pt.v, new_pt.idx)
-        t2 = batched_turning(m_z, m_v, m_i, new_pt.z, new_pt.v, new_pt.idx)
-        t3 = jax.vmap(is_turning)(a_z, a_v, a_i, b_z, b_v, b_i)
-
-        active = j_levels <= tz_next
-        level_turn = t1 | ((j_levels >= 2) & (t2 | t3))
-        turning_int = jnp.any(active & level_turn) & c.check_this
-
-        subtree_complete = (c.leaf + 1) == (jnp.int32(1) << c.depth)
-
-        # --- top-level merge checks (nuts.rs:143-161 at the outermost call) ---
-        b0_z, b0_v, b0_idx = left_z[D], left_v[D], left_idx[D]
-        far_end = point_where(c.direction > 0, c.p_minus, c.p_plus)
-        near_end = point_where(c.direction > 0, c.p_plus, c.p_minus)
-        t_outer = is_turning(far_end.z, far_end.v, far_end.idx,
-                             new_pt.z, new_pt.v, new_pt.idx)
-        t_near = is_turning(near_end.z, near_end.v, near_end.idx,
-                            new_pt.z, new_pt.v, new_pt.idx)
-        t_b0 = is_turning(far_end.z, far_end.v, far_end.idx, b0_z, b0_v, b0_idx)
-        turning_top = c.check_this & (
-            t_outer | ((c.depth > 0) & (t_near | t_b0)))
-
-        # --- biased progressive sampling at the top level (nuts.rs:191-202) ---
-        take_sub = (logw_sub >= c.logw_main) | (
-            jnp.log(rand3[1]) < logw_sub - c.logw_main)
-
-        do_merge = subtree_complete & ~diverged & ~turning_int
-        merge_take = do_merge & take_sub
-        draw_main = point_where(merge_take, draw_sub, c.draw_main)
-        logw_main = jnp.where(do_merge,
-                              jnp.logaddexp(c.logw_main, logw_sub), c.logw_main)
-        p_plus = point_where(do_merge & (c.direction > 0), new_pt, c.p_plus)
-        p_minus = point_where(do_merge & (c.direction < 0), new_pt, c.p_minus)
-
-        depth = c.depth + jnp.asarray(do_merge, jnp.int32)
-        # Extra doublings (nuts.rs:350-370): after ANY top-level Turning result
-        # — whether from the across-trees check (merged) or from a turning
-        # inside the unfinished subtree (discarded, no merge) — keep doubling
-        # with checks off for opts.extra_doublings rounds.
-        turned_now = turning_int | (do_merge & turning_top)
-        enter_extra = turned_now & (jnp.int32(opts.extra_doublings) > 0)
-        extras_left = jnp.where(
-            c.extra_mode & do_merge, c.extras_left - 1, c.extras_left)
-        extra_mode = c.extra_mode | enter_extra
-
-        done = (c.done | diverged
-                | (turned_now & ~enter_extra)
-                | (c.extra_mode & do_merge & (extras_left <= 0)))
-        turning = c.turning | turned_now
-        diverging = c.diverging | diverged
-
-        # --- next-iteration bookkeeping ---
-        new_doubling = do_merge | turning_int
-        leaf = jnp.where(new_doubling, jnp.int32(0), c.leaf + 1)
-        new_dir = jnp.where(rand3[2] < 0.5, jnp.int32(1), jnp.int32(-1))
-        direction = jnp.where(new_doubling, new_dir, c.direction)
-        check_next = (jnp.asarray(opts.check_turning)
-                      & (depth >= mindepth_dyn)
-                      & ~extra_mode)
-        check_this = jnp.where(new_doubling, check_next, c.check_this)
-        # After a completed doubling the next leapfrog starts from the
-        # endpoint in the freshly sampled direction.
-        edge_after_merge = point_where(new_dir > 0, p_plus, p_minus)
-        p_edge = point_where(new_doubling, edge_after_merge, new_pt)
-
-        return _Carry(
-            key=key, depth=depth, leaf=leaf, direction=direction,
-            check_this=check_this,
-            p_minus=p_minus, p_plus=p_plus, p_edge=p_edge,
-            draw_main=draw_main, logw_main=logw_main,
-            draw_sub=draw_sub, logw_sub=logw_sub,
-            left_z=left_z, left_v=left_v, left_idx=left_idx,
-            mid_z=mid_z, mid_v=mid_v, mid_idx=mid_idx,
-            done=done, diverging=diverging, turning=turning,
-            extra_mode=extra_mode, extras_left=extras_left,
-            n_steps=n_steps, sum_accept=sum_accept,
-            sum_accept_sym=sum_accept_sym, max_energy_error=max_err,
-            div_info=div_info,
-        )
-
-    final = jax.lax.while_loop(cond, body, carry)
-
-    reached_max = (~final.done) & (final.depth >= maxdepth_dyn)
-    draw = final.draw_main
-    info = NutsInfo(
-        depth=final.depth,
-        reached_maxdepth=reached_max,
-        diverging=final.diverging,
-        turning=final.turning,
-        n_steps=final.n_steps,
-        sum_accept=final.sum_accept,
-        sum_accept_sym=final.sum_accept_sym,
-        max_energy_error=final.max_energy_error,
-        energy=draw.energy,
-        energy_error=draw.energy - initial_energy,
-        initial_energy=initial_energy,
-        idx_in_trajectory=draw.idx,
-        # DrawGradCollector.is_good (transform/adapt/diagonal.rs:73-84)
-        is_good_for_adapt=jnp.where(
-            final.diverging, jnp.abs(draw.idx) > 4, draw.idx != 0),
-        divergence=final.div_info,
-    )
-    return draw, info
+    final = jax.lax.while_loop(
+        lambda c: ~_tree_finished(c),
+        lambda c: _tree_body(c, transform, logp_grad_fn, opts, ops),
+        carry)
+    return _extract_info(final)

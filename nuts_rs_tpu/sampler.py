@@ -57,6 +57,12 @@ class NutsSettings:
     store_divergences: bool = False
     store_mass_matrix: bool = False
     kinetic_energy: KineticKind = KineticKind.EUCLIDEAN
+    # Posterior draws on the draw-asynchronous kernel: each chain starts its
+    # next draw immediately instead of waiting for the slowest tree in the
+    # batch.  Wins on targets with heavy-tailed tree depths; for shallow
+    # uniform trees the per-iteration bookkeeping overhead makes it slightly
+    # slower, so the default is the draw-synchronous path.
+    async_posterior: bool = False
     adapt: AdaptScheduleOptions = AdaptScheduleOptions()
     step_size: StepSizeSettings = StepSizeSettings()
     low_rank: LowRankSettings = LowRankSettings()
@@ -97,9 +103,27 @@ class NutsSettings:
     def adaptation_name(self) -> str:
         return self.mass_matrix
 
+    @property
+    def _can_async(self) -> bool:
+        return (self.async_posterior
+                and not (self.store_gradient or self.store_unconstrained
+                         or self.store_transformed or self.store_divergences
+                         or self.store_mass_matrix))
+
     def build_phases(self, model, strategy, config):
+        from .chain import make_async_posterior_runner
+
         step = make_draw_step(model, strategy, config)
-        return [(0, self.num_tune + self.num_draws, step)]
+        sync = partial(_scan_chunk, step)
+        total = self.num_tune + self.num_draws
+        if not self._can_async:
+            return [(0, total, sync)]
+        # Warmup stays draw-synchronous (per-draw-index adaptation schedule);
+        # the posterior phase runs the draw-asynchronous kernel which removes
+        # the lock-step straggler waste across vmapped chains.
+        async_runner = make_async_posterior_runner(
+            model, strategy, config, phase_start=self.num_tune)
+        return [(0, self.num_tune, sync), (self.num_tune, total, async_runner)]
 
     def extra_flags(self, flags, lo, hi):
         return flags
@@ -193,8 +217,8 @@ class MclmcSettings:
         total = self.num_tune + self.num_draws
         if self.switch_draw is None:
             opts = self._mclmc_options(self.trajectory_kind)
-            return [(0, total,
-                     make_mclmc_draw_step(model, strategy, config, opts))]
+            step = make_mclmc_draw_step(model, strategy, config, opts)
+            return [(0, total, partial(_scan_chunk, step))]
         sw = self.switch_draw
         eucl = make_mclmc_draw_step(
             model, strategy, config,
@@ -202,7 +226,8 @@ class MclmcSettings:
         micro = make_mclmc_draw_step(
             model, strategy, config,
             self._mclmc_options(MclmcTrajectoryKind.MICROCANONICAL))
-        return [(0, sw, eucl), (sw, total, micro)]
+        return [(0, sw, partial(_scan_chunk, eucl)),
+                (sw, total, partial(_scan_chunk, micro))]
 
     def extra_flags(self, flags, lo, hi):
         # Full momentum resample on the first draw and at the trajectory
@@ -367,12 +392,13 @@ class Sampler:
         self.state: ChainState = jax.tree.map(
             lambda x: jnp.array(x, copy=True), state)
 
-        # Phases: draw-index ranges with their own compiled step (MCLMC's
-        # Euclidean -> Microcanonical switch is a host-known boundary).
-        self._phases = settings.build_phases(model, self.strategy, config)
+        # Phases: draw-index ranges with their own compiled runner (MCLMC's
+        # Euclidean -> Microcanonical switch and the async posterior kernel
+        # are host-known boundaries).
         self._phase_runners = [
-            (start, end, jax.jit(partial(_scan_chunk, step), donate_argnums=0))
-            for start, end, step in self._phases
+            (start, end, jax.jit(runner, donate_argnums=0))
+            for start, end, runner in settings.build_phases(
+                model, self.strategy, config)
         ]
 
         if model.expand_fn is not None:

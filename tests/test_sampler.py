@@ -120,3 +120,28 @@ def test_checkpoint_resume(tmp_path):
     # resumed posterior must be bit-identical to the uninterrupted run
     np.testing.assert_array_equal(resumed.posterior["position"],
                                   full.posterior["position"])
+
+
+def test_async_posterior_kernel():
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+
+    model = g.normal_logp(6, mu=2.0)
+    base = dict(num_tune=200, num_draws=600, num_chains=4, seed=13)
+    tr_async = sample(model, DiagNutsSettings(async_posterior=True, **base),
+                      chunk_size=250)
+    tr_sync = sample(model, DiagNutsSettings(async_posterior=False, **base),
+                     chunk_size=250)
+    da, ds = tr_async.posterior["position"], tr_sync.posterior["position"]
+    assert da.shape == ds.shape
+    # different PRNG consumption, same distribution
+    np.testing.assert_allclose(da.mean(), ds.mean(), atol=0.1)
+    np.testing.assert_allclose(da.std(), ds.std(), atol=0.1)
+    ssa = tr_async.sample_stats
+    assert abs(ssa["mean_tree_accept"].mean()
+               - tr_sync.sample_stats["mean_tree_accept"].mean()) < 0.05
+    assert not ssa["diverging"].any()
+    # chunk invariance holds for the async path too
+    tr_async2 = sample(model, DiagNutsSettings(async_posterior=True, **base),
+                       chunk_size=800)
+    np.testing.assert_array_equal(da, tr_async2.posterior["position"])
