@@ -48,6 +48,11 @@ class ChainConfig:
     nuts: NutsOptions
     step_size: ss.StepSizeSettings
     use_grad_based_estimate: bool = True
+    # Pool the per-draw acceptance statistic across all chains (and across the
+    # mesh axis under shard_map) before the dual-averaging update, so every
+    # chain shares one step size driven by C-times more information.
+    cross_chain_step_size: bool = False
+    axis_name: Optional[str] = None
     store_gradient: bool = False
     store_unconstrained: bool = False
     store_transformed: bool = False
@@ -121,6 +126,18 @@ def _mean0(x, n):
     return x / jnp.maximum(n.astype(x.dtype), 1.0)
 
 
+def _maybe_pool_steps(found, config: ChainConfig):
+    """Cross-chain step sharing: replace per-chain init-search results with
+    their geometric mean so pooled dual averaging keeps every chain on one
+    identical step size."""
+    if not config.cross_chain_step_size:
+        return found
+    pooled = jnp.mean(jnp.log(found))
+    if config.axis_name is not None:
+        pooled = jax.lax.pmean(pooled, config.axis_name)
+    return jnp.broadcast_to(jnp.exp(pooled), found.shape)
+
+
 def make_draw_step(model, strategy, config: ChainConfig):
     """Build the scan body: one draw + adaptation for all chains.
 
@@ -162,6 +179,11 @@ def make_draw_step(model, strategy, config: ChainConfig):
 
         # --- dual averaging advance (early: plain mean; late: symmetric) ---
         accept_stat = jnp.where(flags["use_late_estimator"], sym_acc, mean_acc)
+        if config.cross_chain_step_size:
+            pooled = jnp.mean(accept_stat)
+            if config.axis_name is not None:
+                pooled = jax.lax.pmean(pooled, config.axis_name)
+            accept_stat = jnp.broadcast_to(pooled, accept_stat.shape)
         step_new = jax.vmap(partial(ss.advance, settings=sset))(
             state.step, accept_stat)
         step_state = jax.tree.map(
@@ -176,6 +198,7 @@ def make_draw_step(model, strategy, config: ChainConfig):
                 partial(ss.init_search, logp_grad_fn=logp_grad, settings=sset,
                         kind=config.nuts.kind, ops=ops)
             )(k_jitter, draw_pt.q, state.transform)
+            found = _maybe_pool_steps(found, config)
             return jax.vmap(ss.reset_from_found_step)(stp, found)
 
         def without_reinit(stp):
@@ -312,6 +335,7 @@ def init_chain_state(
         partial(ss.init_search, logp_grad_fn=model.logp_and_grad,
                 settings=config.step_size, kind=config.nuts.kind, ops=ops)
     )(search_keys, state.pt.q, state.transform)
+    found = _maybe_pool_steps(found, config)
     step = jax.vmap(ss.reset_from_found_step)(state.step, found)
     return state._replace(step=step)
 

@@ -63,6 +63,11 @@ class NutsSettings:
     # uniform trees the per-iteration bookkeeping overhead makes it slightly
     # slower, so the default is the draw-synchronous path.
     async_posterior: bool = False
+    # Cross-chain adaptation (TPU-native extension, SURVEY.md §2.12): pool
+    # mass-matrix estimators and step-size acceptance statistics across all
+    # chains (psum/pmean over the mesh axis when sharded).
+    cross_chain_adaptation: bool = False
+    mesh_axis_name: Optional[str] = None
     adapt: AdaptScheduleOptions = AdaptScheduleOptions()
     step_size: StepSizeSettings = StepSizeSettings()
     low_rank: LowRankSettings = LowRankSettings()
@@ -93,6 +98,8 @@ class NutsSettings:
             store_transformed=self.store_transformed,
             store_divergences=self.store_divergences,
             store_mass_matrix=self.store_mass_matrix,
+            cross_chain_step_size=self.cross_chain_adaptation,
+            axis_name=self.mesh_axis_name,
         )
 
     @property
@@ -304,8 +311,10 @@ class ChainProgress:
 
 
 def _strategy_for(settings, config: ChainConfig):
+    cross = getattr(settings, "cross_chain_adaptation", False)
+    axis = getattr(settings, "mesh_axis_name", None)
     if settings.mass_matrix == "diag":
-        return DiagStrategy(config)
+        return DiagStrategy(config, cross_chain=cross, axis_name=axis)
     if settings.mass_matrix == "low_rank":
         from .adapt.low_rank import LowRankStrategy
 

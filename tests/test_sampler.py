@@ -145,3 +145,23 @@ def test_async_posterior_kernel():
     tr_async2 = sample(model, DiagNutsSettings(async_posterior=True, **base),
                        chunk_size=800)
     np.testing.assert_array_equal(da, tr_async2.posterior["position"])
+
+
+def test_exact_normal_kinetic_energy():
+    # Geodesic (ExactNormal) integrator end-to-end; exact for the whitened
+    # standard-normal target, so acceptance should be essentially 1.
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+
+    model = g.normal_logp(8, mu=3.0)
+    settings = DiagNutsSettings(
+        num_tune=150, num_draws=300, num_chains=2, seed=21,
+        kinetic_energy=nt.KineticKind.EXACT_NORMAL)
+    trace = sample(model, settings, chunk_size=150)
+    d = trace.posterior["position"]
+    np.testing.assert_allclose(d.mean(), 3.0, atol=0.1)
+    np.testing.assert_allclose(d.std(), 1.0, atol=0.12)
+    # once the mass matrix converges, the geodesic flow is near-exact
+    acc = trace.sample_stats["mean_tree_accept"]
+    assert acc.mean() > 0.9
+    assert not trace.sample_stats["diverging"].any()

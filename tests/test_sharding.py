@@ -131,3 +131,16 @@ def test_sharded_sampling_matches_unsharded_shapes():
     stds = np.asarray(final.transform.stds)
     np.testing.assert_allclose(stds, np.broadcast_to(stds[0], stds.shape),
                                rtol=1e-6)
+
+
+def test_cross_chain_adaptation_setting():
+    # cross_chain_adaptation=True through the public API: all chains share
+    # one mass matrix and one adapted step size after warmup.
+    model = gaussian.normal_logp(5, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=150, num_draws=100, num_chains=8,
+                                   seed=2, cross_chain_adaptation=True)
+    trace = nt.sample(model, settings, chunk_size=250)
+    d = trace.posterior["position"]
+    assert abs(d.mean() - 1.0) < 0.1
+    bars = trace.sample_stats["step_size_bar"][:, -1]
+    np.testing.assert_allclose(bars, bars[0], rtol=1e-6)
