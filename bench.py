@@ -16,6 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: repeat runs skip the (tunnel-bound, ~2s/kernel)
+# TPU compilation entirely.
+jax.config.update("jax_compilation_cache_dir", "/tmp/nuts_rs_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 # Single-chain CPU throughput of THIS engine on the nuts-rs sample_1000_10
 # config (10-d normal, 1000 tune + 1000 draws, 1 chain, f64 CPU), measured in
 # this container; stands in for the reference's unpublished criterion numbers
@@ -28,9 +33,12 @@ def run_bench(num_chains=1024, dim=10, num_tune=300, num_draws=700, maxdepth=10)
     from nuts_rs_tpu.models import gaussian
 
     model = gaussian.normal_logp(dim, mu=3.0)
+    # The fused Pallas posterior engine is the fast path on real TPUs; the
+    # XLA kernels remain the default everywhere else.
+    kernel = "pallas" if jax.default_backend() == "tpu" else "sync"
     settings = nt.DiagNutsSettings(
         num_tune=num_tune, num_draws=num_draws, num_chains=num_chains,
-        maxdepth=maxdepth, seed=0)
+        maxdepth=maxdepth, seed=0, posterior_kernel=kernel)
     sampler = nt.Sampler(model, settings, dtype=jnp.float32,
                          chunk_size=num_tune)
 

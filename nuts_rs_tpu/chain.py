@@ -477,3 +477,93 @@ def make_async_posterior_runner(model, strategy, config: ChainConfig,
         return state, stats
 
     return runner
+
+
+def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
+                                 phase_start: int, base_seed: int):
+    """Posterior-phase runner on the fully-fused Pallas engine.
+
+    Only valid for diagonal transforms + Euclidean dynamics with default tree
+    options and no extra stores; the model's logp must lower inside Pallas.
+    RNG comes from the TPU hardware PRNG (or a hash fallback when
+    interpreted), so results are reproducible per (seed, chunking) but follow
+    a different stream than the XLA kernels.
+    """
+    from .kernels.nuts_pallas import nuts_pallas_run
+
+    sset = config.step_size
+
+    def logp_grad_batched(q):  # [d, B] -> ([B], [d, B])
+        return jax.vmap(model.logp_and_grad, in_axes=1, out_axes=(0, 1))(q)
+
+    interpret = jax.default_backend() != "tpu"
+
+    MAX_K = 64  # VMEM budget: outputs live on-chip during a launch
+
+    def runner(state: ChainState, flags):
+        k = flags["is_tuning"].shape[0]
+        bars = jax.vmap(partial(ss.step_size_bar, settings=sset))(state.step)
+
+        q_f, g_f, logp_f = state.pt.q, state.pt.g, state.pt.logp
+        step_in = state.step.step_size
+        draws_parts, out_parts = [], []
+        done = 0
+        while done < k:
+            kk = min(MAX_K, k - done)
+            seed = (jnp.int32(base_seed & 0x7FFFFFFF)
+                    ^ ((state.draw_idx + done)
+                       * jnp.int32(2654435761 & 0x7FFFFFFF)))
+            q_f, g_f, logp_f, dpart, opart = nuts_pallas_run(
+                seed, q_f, g_f, logp_f,
+                state.transform.stds, state.transform.mean,
+                state.transform.logdet, step_in, bars,
+                kk, logp_grad_batched, config.nuts, sset.jitter,
+                interpret=interpret,
+            )
+            step_in = opart["step_size"][:, -1]
+            draws_parts.append(dpart)
+            out_parts.append(opart)
+            done += kk
+        draws = jnp.concatenate(draws_parts, axis=1)
+        out = {key: jnp.concatenate([o[key] for o in out_parts], axis=1)
+               for key in out_parts[0] if key != "loop_iterations"}
+
+        # rebuild a consistent Point at the final position
+        from .transform.affine import grad_to_transformed, to_transformed
+
+        z_f = jax.vmap(to_transformed)(state.transform, q_f)
+        zg_f = jax.vmap(grad_to_transformed)(state.transform, g_f)
+        pt = state.pt._replace(q=q_f, g=g_f, z=z_f, zg=zg_f, logp=logp_f)
+        state = state._replace(
+            pt=pt,
+            step=state.step._replace(step_size=step_in),
+            draw_idx=state.draw_idx + k,
+        )
+
+        def t(x):
+            return jnp.moveaxis(x, 0, 1)
+
+        n = jnp.maximum(out["n_steps"], 1.0)
+        stats = {
+            "position": t(draws),
+            "depth": t(out["depth"].astype(jnp.int32)),
+            "maxdepth_reached": t(out["maxdepth_reached"] > 0.5),
+            "diverging": t(out["diverging"] > 0.5),
+            "n_steps": t(out["n_steps"].astype(jnp.int32)),
+            "step_size": t(out["step_size"]),
+            "step_size_bar": jnp.broadcast_to(bars[None, :], (k,) + bars.shape),
+            "mean_tree_accept": t(out["sum_accept"] / n),
+            "mean_tree_accept_sym": t(out["sum_accept_sym"] / n),
+            "max_energy_error": t(out["max_energy_error"]),
+            "logp": t(out["logp"]),
+            "energy": t(out["energy"]),
+            "energy_error": t(out["energy_error"]),
+            "index_in_trajectory": t(out["index_in_trajectory"].astype(jnp.int32)),
+            "fisher_distance": t(out["fisher_distance"]),
+            "transformation_index": jnp.broadcast_to(
+                state.transform.id[None, :], (k,) + state.transform.id.shape),
+            "tuning": jnp.zeros((k,) + bars.shape, bool),
+        }
+        return state, stats
+
+    return runner

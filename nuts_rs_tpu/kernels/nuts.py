@@ -130,6 +130,8 @@ class _Carry(NamedTuple):
     left_v: jax.Array
     mid_z: jax.Array
     mid_v: jax.Array
+    b_left: jax.Array         # [D+1] cached z.v per left-stack row
+    b_mid: jax.Array          # [D+1] cached z.v per mid-stack row
     done: jax.Array
     diverging: jax.Array
     turning: jax.Array
@@ -194,6 +196,7 @@ def _init_tree_carry(key, pt0, step_size, opts: NutsOptions, rand_dir):
         draw_sub=pt0, logw_sub=jnp.full((), -jnp.inf, dtype),
         left_z=z_stack, left_v=z_stack,
         mid_z=z_stack, mid_v=z_stack,
+        b_left=jnp.zeros(D + 1, dtype), b_mid=jnp.zeros(D + 1, dtype),
         done=jnp.asarray(False),
         diverging=jnp.asarray(False),
         turning=jnp.asarray(False),
@@ -265,48 +268,58 @@ def _tree_body(c: _Carry, transform, logp_grad_fn, opts: NutsOptions,
     # --- stack writes ---
     tz_leaf = trailing_zeros(c.leaf, cap=D)
     row_left = jnp.minimum(tz_leaf, D)
+    d1 = jnp.sum(new_pt.z * new_pt.v)
     left_z = c.left_z.at[row_left].set(new_pt.z)
     left_v = c.left_v.at[row_left].set(new_pt.v)
+    b_left = c.b_left.at[row_left].set(d1)
     tz_next = trailing_zeros(c.leaf + 1, cap=D)
     row_mid = jnp.minimum(tz_next + 1, D)  # level this leaf is midpoint of
     mid_z = c.mid_z.at[row_mid].set(new_pt.z)
     mid_v = c.mid_v.at[row_mid].set(new_pt.v)
+    b_mid = c.b_mid.at[row_mid].set(d1)
 
-    # --- internal U-turn checks for completed spans (levels 1..tz(leaf+1)) ---
-    # Vectorized over all D levels at once.  Two hardware facts shape this:
-    # (1) traced-index gathers lower to pathologically slow TPU loops, so the
-    # stack rows are selected with one-hot contractions (MXU matmuls);
-    # (2) trajectory-index ordering is not needed — within a doubling every
-    # state was created along ``direction``, so the reference's sorted
-    # criterion (transformed_hamiltonian.rs:617-638) reduces to
-    #   turning(old, new) = (dir*(z_new-z_old) . v_old < 0)
-    #                     | (dir*(z_new-z_old) . v_new < 0)
-    # for states in creation order, eliminating index stacks entirely.
+    # --- U-turn checks, matvec form -----------------------------------------
+    # Two hardware facts shape this:
+    # (1) trajectory-index ordering is not needed — within a doubling every
+    #     state was created along ``direction``, so the reference's sorted
+    #     criterion (transformed_hamiltonian.rs:617-638) reduces, for states
+    #     (old, new) in creation order, to
+    #       turning = (dir*(z_new-z_old).v_old < 0) | (dir*(z_new-z_old).v_new < 0)
+    # (2) traced-index row gathers are pathologically slow on TPU, so every
+    #     check is decomposed into inner products available from four
+    #     [D+1,d]@[d] matvecs against the stacks, one small [D+1,d]@[d,D+1]
+    #     gram matrix, cached per-row z.v scalars, and one-hot *scalar*
+    #     selections — no [D, d] gathered intermediates at all.
     dir_f = c.direction.astype(dtype)
-
-    def turning_dir(z_old, v_old, z_new, v_new):
-        dz = (z_new - z_old) * dir_f
-        t1 = jnp.sum(dz * v_old, axis=-1)
-        t2 = jnp.sum(dz * v_new, axis=-1)
-        return (t1 < 0.0) | (t2 < 0.0)
 
     j_levels = jnp.arange(1, D + 1, dtype=jnp.int32)           # [D]
     s_vec = c.leaf + 1 - (jnp.int32(1) << j_levels)            # A left ends
     rows_a = jnp.minimum(trailing_zeros(s_vec, cap=D), D)
     s2_vec = c.leaf + 1 - (jnp.int32(1) << (j_levels - 1))     # B left ends
     rows_b = jnp.minimum(trailing_zeros(s2_vec, cap=D), D)
-
     oh_a = jax.nn.one_hot(rows_a, D + 1, dtype=dtype)          # [D, D+1]
     oh_b = jax.nn.one_hot(rows_b, D + 1, dtype=dtype)
-    a_z = oh_a @ left_z                                        # [D, d]
-    a_v = oh_a @ left_v
-    b_z = oh_b @ left_z
-    b_v = oh_b @ left_v
-    m_z, m_v = mid_z[1:], mid_v[1:]
 
-    t1 = turning_dir(a_z, a_v, new_pt.z[None, :], new_pt.v[None, :])
-    t2 = turning_dir(m_z, m_v, new_pt.z[None, :], new_pt.v[None, :])
-    t3 = turning_dir(a_z, a_v, b_z, b_v)   # B's left end is created after A's
+    av_left = left_v @ new_pt.z     # [D+1]  rows' v . z_new
+    cz_left = left_z @ new_pt.v     # [D+1]  rows' z . v_new
+    av_mid = mid_v @ new_pt.z
+    cz_mid = mid_z @ new_pt.v
+    gram = left_z @ left_v.T        # [D+1, D+1]  G[i, j] = z_i . v_j
+
+    a_av = oh_a @ av_left
+    a_b = oh_a @ b_left
+    a_cz = oh_a @ cz_left
+    b_b = oh_b @ b_left
+    g_ba = jnp.sum((oh_b @ gram) * oh_a, axis=1)   # z_b . v_a
+    g_ab = jnp.sum((oh_a @ gram) * oh_b, axis=1)   # z_a . v_b
+
+    # (A.first, new): dz.v_a and dz.v_new with dz = dir*(z_new - z_a)
+    t1 = (dir_f * (a_av - a_b) < 0) | (dir_f * (d1 - a_cz) < 0)
+    # (midpoint_j, new): mid row for level j is exactly row j (static slice)
+    t2 = ((dir_f * (av_mid[1:] - b_mid[1:]) < 0)
+          | (dir_f * (d1 - cz_mid[1:]) < 0))
+    # (A.first, B.first): B's left end is created after A's
+    t3 = (dir_f * (g_ba - a_b) < 0) | (dir_f * (b_b - g_ab) < 0)
 
     active = j_levels <= tz_next
     level_turn = t1 | ((j_levels >= 2) & (t2 | t3))
@@ -316,16 +329,20 @@ def _tree_body(c: _Carry, transform, logp_grad_fn, opts: NutsOptions,
 
     # --- top-level merge checks (nuts.rs:143-161 at the outermost call) ---
     # far_end/near_end are the trajectory endpoints opposite/along the current
-    # direction; only (z, v) are needed for the checks.
+    # direction; B0 (the subtree's first leaf) is left-stack row D.
     fwd = c.direction > 0
     far_z = jnp.where(fwd, c.p_minus.z, c.p_plus.z)
     far_v = jnp.where(fwd, c.p_minus.v, c.p_plus.v)
     near_z = jnp.where(fwd, c.p_plus.z, c.p_minus.z)
     near_v = jnp.where(fwd, c.p_plus.v, c.p_minus.v)
-    b0_z, b0_v = left_z[D], left_v[D]
-    t_outer = turning_dir(far_z, far_v, new_pt.z, new_pt.v)
-    t_near = turning_dir(near_z, near_v, new_pt.z, new_pt.v)
-    t_b0 = turning_dir(far_z, far_v, b0_z, b0_v)
+    far_zv = jnp.sum(far_z * far_v)
+    t_outer = ((dir_f * (jnp.sum(new_pt.z * far_v) - far_zv) < 0)
+               | (dir_f * (d1 - jnp.sum(far_z * new_pt.v)) < 0))
+    near_zv = jnp.sum(near_z * near_v)
+    t_near = ((dir_f * (jnp.sum(new_pt.z * near_v) - near_zv) < 0)
+              | (dir_f * (d1 - jnp.sum(near_z * new_pt.v)) < 0))
+    t_b0 = ((dir_f * (jnp.sum(left_z[D] * far_v) - far_zv) < 0)
+            | (dir_f * (b_left[D] - jnp.sum(far_z * left_v[D])) < 0))
     turning_top = c.check_this & (
         t_outer | ((c.depth > 0) & (t_near | t_b0)))
 
@@ -380,6 +397,7 @@ def _tree_body(c: _Carry, transform, logp_grad_fn, opts: NutsOptions,
         draw_sub=draw_sub, logw_sub=logw_sub,
         left_z=left_z, left_v=left_v,
         mid_z=mid_z, mid_v=mid_v,
+        b_left=b_left, b_mid=b_mid,
         done=done, diverging=diverging, turning=turning,
         extra_mode=extra_mode, extras_left=extras_left,
         n_steps=n_steps, sum_accept=sum_accept,

@@ -63,6 +63,12 @@ class NutsSettings:
     # uniform trees the per-iteration bookkeeping overhead makes it slightly
     # slower, so the default is the draw-synchronous path.
     async_posterior: bool = False
+    # "sync" (default) | "async" | "pallas": which posterior-phase engine to
+    # use.  "pallas" runs the fully-fused VMEM-resident kernel (TPU; ~3-4x
+    # the sync throughput) and requires a diagonal transform, Euclidean
+    # dynamics, default tree options, no extra stores, and a logp that lowers
+    # inside Pallas.
+    posterior_kernel: str = "sync" 
     # Cross-chain adaptation (TPU-native extension, SURVEY.md §2.12): pool
     # mass-matrix estimators and step-size acceptance statistics across all
     # chains (psum/pmean over the mesh axis when sharded).
@@ -111,26 +117,52 @@ class NutsSettings:
         return self.mass_matrix
 
     @property
-    def _can_async(self) -> bool:
-        return (self.async_posterior
-                and not (self.store_gradient or self.store_unconstrained
-                         or self.store_transformed or self.store_divergences
-                         or self.store_mass_matrix))
+    def _no_extra_stores(self) -> bool:
+        return not (self.store_gradient or self.store_unconstrained
+                    or self.store_transformed or self.store_divergences
+                    or self.store_mass_matrix)
+
+    @property
+    def _posterior_kernel(self) -> str:
+        if self.async_posterior and self.posterior_kernel == "sync":
+            return "async"
+        return self.posterior_kernel
+
+    def _pallas_ok(self) -> bool:
+        return (self.mass_matrix == "diag"
+                and self.kinetic_energy is KineticKind.EUCLIDEAN
+                and self.mindepth == 0
+                and self.extra_doublings == 0
+                and self.target_integration_time is None
+                and self.check_turning
+                and self._no_extra_stores
+                and not self.cross_chain_adaptation)
 
     def build_phases(self, model, strategy, config):
-        from .chain import make_async_posterior_runner
+        from .chain import (
+            make_async_posterior_runner,
+            make_pallas_posterior_runner,
+        )
 
         step = make_draw_step(model, strategy, config)
         sync = partial(_scan_chunk, step)
         total = self.num_tune + self.num_draws
-        if not self._can_async:
+        kind = self._posterior_kernel
+        if kind == "async" and self._no_extra_stores:
+            runner = make_async_posterior_runner(
+                model, strategy, config, phase_start=self.num_tune)
+        elif kind == "pallas" and self._pallas_ok():
+            runner = make_pallas_posterior_runner(
+                model, strategy, config, phase_start=self.num_tune,
+                base_seed=self.seed)
+        else:
+            if kind not in ("sync", "async", "pallas"):
+                raise ValueError(f"unknown posterior_kernel {kind!r}")
+            runner = None
+        if runner is None:
             return [(0, total, sync)]
-        # Warmup stays draw-synchronous (per-draw-index adaptation schedule);
-        # the posterior phase runs the draw-asynchronous kernel which removes
-        # the lock-step straggler waste across vmapped chains.
-        async_runner = make_async_posterior_runner(
-            model, strategy, config, phase_start=self.num_tune)
-        return [(0, self.num_tune, sync), (self.num_tune, total, async_runner)]
+        # Warmup stays draw-synchronous (per-draw-index adaptation schedule).
+        return [(0, self.num_tune, sync), (self.num_tune, total, runner)]
 
     def extra_flags(self, flags, lo, hi):
         return flags

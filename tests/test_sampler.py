@@ -165,3 +165,25 @@ def test_exact_normal_kinetic_energy():
     acc = trace.sample_stats["mean_tree_accept"]
     assert acc.mean() > 0.9
     assert not trace.sample_stats["diverging"].any()
+
+
+def test_pallas_posterior_kernel():
+    # Fused Pallas engine (interpret mode on CPU): same distribution as the
+    # XLA kernels on the standard normal target.
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+
+    model = g.normal_logp(4, mu=2.0)
+    base = dict(num_tune=150, num_draws=150, num_chains=8, seed=17)
+    tr = sample(model, DiagNutsSettings(posterior_kernel="pallas", **base),
+                chunk_size=300)
+    d = tr.posterior["position"]
+    assert d.shape == (8, 150, 4)
+    assert abs(d.mean() - 2.0) < 0.12
+    assert abs(d.std() - 1.0) < 0.12
+    ss_ = tr.sample_stats
+    assert not ss_["diverging"].any()
+    acc = ss_["mean_tree_accept"]
+    assert 0.6 < acc.mean() <= 1.0
+    assert (ss_["n_steps"] >= 1).all()
+    assert ss_["depth"].max() <= 10
