@@ -424,6 +424,16 @@ class Sampler:
             for _ in range(settings.num_chains)
         ]
 
+        if init_positions is not None:
+            init_positions = np.asarray(init_positions)
+            expect = (settings.num_chains, model.dim)
+            if init_positions.shape != expect:
+                raise ValueError(
+                    f"init_positions has shape {init_positions.shape}, "
+                    f"expected (num_chains, dim) = {expect}")
+        if model.dim < 1:
+            raise ValueError("model.dim must be >= 1")
+
         key = jax.random.key(settings.seed)
         state = init_chain_state(
             key, model, self.strategy, config, settings.num_chains,
@@ -432,6 +442,17 @@ class Sampler:
         # its input state, and XLA rejects donating the same buffer twice.
         self.state: ChainState = jax.tree.map(
             lambda x: jnp.array(x, copy=True), state)
+
+        # Fail fast on unusable starting points (reference: 500 init retries
+        # then a hard error, src/sampler.rs:1133-1143).  Without this a bad
+        # chain would silently diverge on every draw.
+        init_logp = np.asarray(self.state.pt.logp)
+        if not np.isfinite(init_logp).all():
+            bad = np.nonzero(~np.isfinite(init_logp))[0]
+            raise RuntimeError(
+                f"could not find a valid initial position for chains "
+                f"{bad.tolist()[:10]} (logp is not finite after retries); "
+                "provide init_positions or check the model")
 
         # Phases: draw-index ranges with their own compiled runner (MCLMC's
         # Euclidean -> Microcanonical switch and the async posterior kernel
@@ -453,6 +474,11 @@ class Sampler:
         self._next_draw = 0
         self._total = settings.num_tune + settings.num_draws
         self._expand_key = jax.random.key(settings.seed + 1)
+        self._paused = False
+        self._last_callback = 0.0
+        # Rate-limit the progress callback like the reference's
+        # ProgressCallback (src/sampler.rs:1262-1265,1340-1363).
+        self.progress_rate_seconds = 0.5
 
     @property
     def finished(self) -> bool:
@@ -486,7 +512,11 @@ class Sampler:
         self._update_progress(lo, stats, tuning, elapsed)
         self._next_draw = hi
         if self.progress_callback is not None:
-            self.progress_callback(self.progress)
+            now = time.monotonic()
+            if (now - self._last_callback >= self.progress_rate_seconds
+                    or self.finished):
+                self._last_callback = now
+                self.progress_callback(self.progress)
 
     def _update_progress(self, lo, stats, tuning, elapsed):
         k = stats["diverging"].shape[1]
@@ -502,9 +532,24 @@ class Sampler:
             prog.step_size = float(stats["step_size"][c, -1])
             prog.runtime += elapsed
 
+    def pause(self) -> None:
+        """Stop launching further chunks from :meth:`run` (the reference's
+        chain pause commands, src/sampler.rs:1469-1490; granularity here is
+        the chunk)."""
+        self._paused = True
+
+    def resume(self) -> None:
+        self._paused = False
+
     def run(self) -> Trace:
         while not self.finished:
+            if self._paused:
+                break
             self.run_next_chunk()
+        if not self.finished:
+            raise RuntimeError(
+                "sampler paused before completion; call resume() and run() "
+                "again, or inspect() the partial trace")
         return self.trace.finalize()
 
     # ---- checkpoint / resume (capability absent from the reference;

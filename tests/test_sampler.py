@@ -187,3 +187,41 @@ def test_pallas_posterior_kernel():
     assert 0.6 < acc.mean() <= 1.0
     assert (ss_["n_steps"] >= 1).all()
     assert ss_["depth"].max() <= 10
+
+
+def test_three_kernels_agree_statistically():
+    # sync / async / pallas posterior engines must produce the same posterior
+    # on a correlated target (different RNG streams, same distribution).
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+
+    model = g.correlated_normal(6, rank1_scale=0.5)
+    base = dict(num_tune=200, num_draws=500, num_chains=8, seed=29)
+    results = {}
+    for kernel in ("sync", "async", "pallas"):
+        tr = sample(model, DiagNutsSettings(posterior_kernel=kernel, **base),
+                    chunk_size=700)
+        d = tr.posterior["position"]
+        results[kernel] = (d.mean(), d.std(),
+                          tr.sample_stats["mean_tree_accept"].mean())
+    for kernel, (m, s, a) in results.items():
+        assert abs(m) < 0.08, (kernel, m)
+        # marginal std of Sigma = I + 0.5*ones*ones^T is sqrt(1.5)
+        assert abs(s - np.sqrt(1.5)) < 0.1, (kernel, s)
+        assert 0.6 < a <= 1.0, (kernel, a)
+
+
+def test_pause_resume_api():
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+
+    model = g.normal_logp(3, 0.0)
+    s = DiagNutsSettings(num_tune=20, num_draws=20, num_chains=2, seed=31)
+    sam = nt.Sampler(model, s, chunk_size=10)
+    sam.run_next_chunk()
+    sam.pause()
+    with pytest.raises(RuntimeError):
+        sam.run()
+    sam.resume()
+    trace = sam.run()
+    assert trace.posterior["position"].shape == (2, 20, 3)
