@@ -18,6 +18,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .adapt import mass_matrix as mm
 from .adapt import step_size as ss
@@ -493,12 +494,33 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
 
     sset = config.step_size
 
-    def logp_grad_batched(q):  # [d, B] -> ([B], [d, B])
-        return jax.vmap(model.logp_and_grad, in_axes=1, out_axes=(0, 1))(q)
+    if model.pallas_logp_grad is not None:
+        logp_grad_batched, pallas_args = model.pallas_logp_grad
+    elif model.pallas_spec is not None:
+        logp_fn_args, pallas_args = model.pallas_spec
+
+        def logp_grad_batched(q, *args):  # [d, B] -> ([B], [d, B])
+            f = lambda qq: logp_fn_args(qq, *args)
+            return jax.vmap(jax.value_and_grad(f), in_axes=1,
+                            out_axes=(0, 1))(q)
+    else:
+        pallas_args = ()
+
+        def logp_grad_batched(q):
+            return jax.vmap(model.logp_and_grad, in_axes=1, out_axes=(0, 1))(q)
 
     interpret = jax.default_backend() != "tpu"
 
-    MAX_K = 64  # VMEM budget: outputs live on-chip during a launch
+    # VMEM budget: the whole sampler state + outputs live on-chip during a
+    # launch.  Rough per-lane footprint (f32 words): stacks 6*(D+1)*d,
+    # ~30 vectors of d, outputs K*(d+13).
+    dim = model.dim
+    D = config.nuts.maxdepth
+    block = 256 if dim <= 32 else 128
+    budget_words = (13_000_000 - 4 * sum(
+        int(np.prod(a.shape)) for a in pallas_args)) // (4 * block)
+    fixed = 6 * (D + 1) * dim + 30 * dim
+    MAX_K = int(max(8, min(64, (budget_words - fixed) // (dim + 13))))
 
     def runner(state: ChainState, flags):
         k = flags["is_tuning"].shape[0]
@@ -518,7 +540,7 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
                 state.transform.stds, state.transform.mean,
                 state.transform.logdet, step_in, bars,
                 kk, logp_grad_batched, config.nuts, sset.jitter,
-                interpret=interpret,
+                interpret=interpret, model_args=pallas_args, block=block,
             )
             step_in = opart["step_size"][:, -1]
             draws_parts.append(dpart)

@@ -75,8 +75,11 @@ def _hash_bits(shape, seed_u32, it, salt):
 
 
 def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
-                opts: NutsOptions, jitter, use_hw_prng: bool = True):
-    """Kernel body; all refs carry a [.., B] chains-on-lanes block layout."""
+                opts: NutsOptions, jitter, use_hw_prng: bool = True,
+                n_model_args: int = 0):
+    """Kernel body; all refs carry a [.., B] chains-on-lanes block layout.
+    ``n_model_args`` extra refs (model data, e.g. a GLM design matrix) follow
+    the state inputs and are forwarded to ``logp_grad_batched``."""
     D = opts.maxdepth
     MAX_ERR = opts.max_energy_error
     CHECK = bool(opts.check_turning)
@@ -84,9 +87,11 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
     salt_counter = [0]
 
     def kernel(seed_ref, q0_ref, g0_ref, logp0_ref, stds_ref, mean_ref,
-               logdet_ref, step0_ref, bar_ref,
-               out_q_ref, out_stats_ref, fin_q_ref, fin_g_ref, fin_logp_ref,
-               iters_ref):
+               logdet_ref, step0_ref, bar_ref, *rest):
+        model_arg_refs = rest[:n_model_args]
+        (out_q_ref, out_stats_ref, fin_q_ref, fin_g_ref, fin_logp_ref,
+         iters_ref) = rest[n_model_args:]
+        model_args = tuple(r[:] for r in model_arg_refs)
         B = q0_ref.shape[1]
         if use_hw_prng:
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
@@ -119,7 +124,7 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
         def eval_z(z):
             """z -> (logp [1,B], zg [d,B]) through the diagonal transform."""
             q = z * stds + mean
-            logp, g = logp_grad_batched(q)
+            logp, g = logp_grad_batched(q, *model_args)
             return logp.reshape(1, B), g * stds
 
         def fresh_step():
@@ -434,9 +439,14 @@ def nuts_pallas_run(
     jitter,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    model_args: tuple = (),
 ):
     """Launch the fused kernel; returns (q_fin, g_fin, logp_fin, draws, stats)
-    with draws [C, K, d] and stats dict of [C, K] arrays."""
+    with draws [C, K, d] and stats dict of [C, K] arrays.
+
+    ``model_args``: arrays the model's logp needs (replicated to every block,
+    VMEM-resident — suitable up to a few MB; larger datasets need an HBM/DMA
+    path).  ``logp_grad_batched(q, *model_args)``."""
     C, d = q.shape
     K = num_draws
     B = min(block, C)
@@ -451,8 +461,10 @@ def nuts_pallas_run(
     step_t, bar_t = cl(step0[:, None]), cl(step_bar[:, None])
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
+    model_args = tuple(jnp.asarray(a, jnp.float32) for a in model_args)
     kernel = make_kernel(logp_grad_batched, d, K, opts, jitter,
-                         use_hw_prng=not interpret)
+                         use_hw_prng=not interpret,
+                         n_model_args=len(model_args))
 
     vspec = lambda r: pl.BlockSpec((r, B), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
@@ -474,6 +486,10 @@ def nuts_pallas_run(
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         vspec(d), vspec(d), vspec(1), vspec(d), vspec(d), vspec(1),
         vspec(1), vspec(1),
+    ] + [
+        pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for a in model_args
     ]
     draws, stats, q_f, g_f, logp_f, iters = pl.pallas_call(
         kernel,
@@ -482,7 +498,8 @@ def nuts_pallas_run(
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(seed_arr, q_t, g_t, logp_t, stds_t, mean_t, logdet_t, step_t, bar_t)
+    )(seed_arr, q_t, g_t, logp_t, stds_t, mean_t, logdet_t, step_t, bar_t,
+      *model_args)
 
     draws_out = jnp.moveaxis(draws, 2, 0)                   # [C, K, d]
     stats_out = {name: stats[:, i, :].T for i, name in enumerate(STAT_NAMES)}

@@ -139,4 +139,23 @@ def logistic_regression(n_data: int = 1000, dim: int = 100, seed: int = 0) -> Mo
         ll = jnp.sum(yy * logits - jnp.logaddexp(0.0, logits))
         return ll - 0.5 * jnp.sum(q * q)
 
-    return Model(logp_fn=logp, dim=dim, name=f"logreg_{dim}d")
+    def logp_with_args(q, xx, yy):
+        # yy ships as (n, 1): Pallas TPU blocks must be >= 2-D.
+        logits = xx @ q
+        ll = jnp.sum(yy[:, 0] * logits - jnp.logaddexp(0.0, logits))
+        return ll - 0.5 * jnp.sum(q * q)
+
+    def logp_grad_batched(q, xx, yy):
+        # q: [d, B]; two MXU matmuls; closed-form Bernoulli-GLM gradient.
+        logits = jnp.dot(xx, q, preferred_element_type=jnp.float32)  # [N, B]
+        y1 = yy  # [N, 1]
+        ll = jnp.sum(y1 * logits - jnp.logaddexp(0.0, logits), axis=0)
+        logp = ll - 0.5 * jnp.sum(q * q, axis=0)
+        p = 1.0 / (1.0 + jnp.exp(-logits))
+        grad = jnp.dot(xx.T, y1 - p,
+                       preferred_element_type=jnp.float32) - q     # [d, B]
+        return logp, grad
+
+    return Model(logp_fn=logp, dim=dim, name=f"logreg_{dim}d",
+                 pallas_spec=(logp_with_args, (x, y[:, None])),
+                 pallas_logp_grad=(logp_grad_batched, (x, y[:, None])))

@@ -49,6 +49,17 @@ class Model:
     dims: Mapping[str, Any] = dataclasses.field(default_factory=dict)
     coords: Mapping[str, Any] = dataclasses.field(default_factory=dict)
     name: str = "model"
+    # Optional Pallas fast-path spec: (logp_fn(q, *args), args).  Pallas
+    # kernels cannot capture array constants, so models with data (GLMs,
+    # hierarchical likelihoods) expose it explicitly here; all other code
+    # paths keep using ``logp_fn``'s closure.
+    pallas_spec: Optional[tuple] = None
+    # Optional hand-written batched value-and-grad for the Pallas engine:
+    # (fn(q: f[d, B], *args) -> (logp f[B], grad f[d, B]), args).  Use when
+    # autodiff of ``pallas_spec`` produces ops Mosaic cannot lower (e.g.
+    # boolean transposes in some backward passes); closed-form GLM gradients
+    # also keep everything on the MXU.
+    pallas_logp_grad: Optional[tuple] = None
 
     def logp_and_grad(self, q: jax.Array):
         """Return ``(logp, grad)`` at ``q``.

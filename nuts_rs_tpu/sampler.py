@@ -10,7 +10,9 @@ reference's progressive trace writes.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import functools
 import time
 from functools import partial
 from typing import Any, Mapping, Optional
@@ -69,6 +71,12 @@ class NutsSettings:
     # dynamics, default tree options, no extra stores, and a logp that lowers
     # inside Pallas.
     posterior_kernel: str = "sync" 
+    # Matmul precision for everything the sampler traces.  TPU f32 matmuls
+    # default to bf16 multiply passes, which corrupts Hamiltonian energies
+    # for matmul-heavy logps (measured: biased logistic-regression
+    # posteriors and spurious low-rank divergences); "highest" forces full
+    # f32 MXU passes.
+    matmul_precision: str = "highest"
     # Cross-chain adaptation (TPU-native extension, SURVEY.md §2.12): pool
     # mass-matrix estimators and step-size acceptance statistics across all
     # chains (psum/pmean over the mesh axis when sharded).
@@ -206,6 +214,7 @@ class MclmcSettings:
     low_rank: LowRankSettings = LowRankSettings()
     use_grad_based_estimate: bool = True
     mass_matrix: str = "diag"
+    matmul_precision: str = "highest"
 
     @property
     def step_size_settings(self) -> StepSizeSettings:
@@ -435,9 +444,12 @@ class Sampler:
             raise ValueError("model.dim must be >= 1")
 
         key = jax.random.key(settings.seed)
-        state = init_chain_state(
-            key, model, self.strategy, config, settings.num_chains,
-            settings.num_tune, self.dtype, init_positions=init_positions)
+        with jax.default_matmul_precision(
+                getattr(settings, "matmul_precision", "highest")):
+            state = init_chain_state(
+                key, model, self.strategy, config, settings.num_chains,
+                settings.num_tune, self.dtype,
+                init_positions=init_positions)
         # Deep-copy so no two leaves alias one buffer: the chunk runner donates
         # its input state, and XLA rejects donating the same buffer twice.
         self.state: ChainState = jax.tree.map(
@@ -456,9 +468,19 @@ class Sampler:
 
         # Phases: draw-index ranges with their own compiled runner (MCLMC's
         # Euclidean -> Microcanonical switch and the async posterior kernel
-        # are host-known boundaries).
+        # are host-known boundaries).  Runners trace under the configured
+        # matmul precision.
+        precision = getattr(settings, "matmul_precision", "highest")
+
+        def jit_prec(fn):
+            @functools.wraps(fn)
+            def wrapped(*a, **k):
+                with jax.default_matmul_precision(precision):
+                    return fn(*a, **k)
+            return jax.jit(wrapped, donate_argnums=0)
+
         self._phase_runners = [
-            (start, end, jax.jit(runner, donate_argnums=0))
+            (start, end, jit_prec(runner))
             for start, end, runner in settings.build_phases(
                 model, self.strategy, config)
         ]
