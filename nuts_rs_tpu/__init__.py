@@ -33,12 +33,20 @@ from .sampler import (
     sample,
     sample_sequentially,
 )
+from .storage.arrow import ArrowConfig
+from .storage.csv import CsvConfig
 from .storage.memory import MemoryConfig, Trace
+from .storage.zarr import ZarrConfig
+from .parallel.mesh import make_mesh
 
 __version__ = "0.1.0"
 
 __all__ = [
     "AdamOptions",
+    "ArrowConfig",
+    "CsvConfig",
+    "ZarrConfig",
+    "make_mesh",
     "AdaptScheduleOptions",
     "ChainProgress",
     "DiagNutsSettings",

@@ -411,7 +411,31 @@ class Sampler:
         chunk_size: int = 128,
         init_positions=None,
         progress_callback=None,
+        mesh=None,
     ):
+        # Mesh execution (SURVEY.md §2.12): shard the chain axis over a
+        # ``jax.sharding.Mesh`` with ``shard_map`` so chains scale across
+        # chips/hosts over ICI; cross-chain adaptation then pools statistics
+        # with psum over the same axis.  Replaces the reference's
+        # one-thread-per-chain rayon pool (src/sampler.rs:1286-1326).
+        if mesh is not None:
+            from .parallel.mesh import CHAIN_AXIS
+
+            n_dev = mesh.devices.size
+            if settings.num_chains % n_dev:
+                raise ValueError(
+                    f"num_chains ({settings.num_chains}) must be a multiple "
+                    f"of the mesh size ({n_dev})")
+            if getattr(settings, "posterior_kernel", "sync") != "sync":
+                raise ValueError(
+                    "mesh execution currently requires posterior_kernel="
+                    "'sync' (the async/pallas engines run per chip; shard "
+                    "chains over hosts and run them per device instead)")
+            if (getattr(settings, "cross_chain_adaptation", False)
+                    and getattr(settings, "mesh_axis_name", None) is None):
+                settings = dataclasses.replace(
+                    settings, mesh_axis_name=CHAIN_AXIS)
+        self.mesh = mesh
         self.model = model
         self.settings = settings
         self.dtype = dtype or (
@@ -443,17 +467,32 @@ class Sampler:
         if model.dim < 1:
             raise ValueError("model.dim must be >= 1")
 
+        # Under mesh execution, init runs eagerly BEFORE the state is
+        # sharded, so all chains are local: pooling over the vmapped chain
+        # axis is already the global pool and psum would find its axis
+        # unbound.  Use an axis-free strategy/config for init only.
+        init_config, init_strategy = config, self.strategy
+        if mesh is not None and config.axis_name is not None:
+            init_config = dataclasses.replace(config, axis_name=None)
+            init_strategy = _strategy_for(
+                dataclasses.replace(settings, mesh_axis_name=None),
+                init_config)
+
         key = jax.random.key(settings.seed)
         with jax.default_matmul_precision(
                 getattr(settings, "matmul_precision", "highest")):
             state = init_chain_state(
-                key, model, self.strategy, config, settings.num_chains,
+                key, model, init_strategy, init_config, settings.num_chains,
                 settings.num_tune, self.dtype,
                 init_positions=init_positions)
         # Deep-copy so no two leaves alias one buffer: the chunk runner donates
         # its input state, and XLA rejects donating the same buffer twice.
         self.state: ChainState = jax.tree.map(
             lambda x: jnp.array(x, copy=True), state)
+        if mesh is not None:
+            from .parallel.mesh import shard_chain_state
+
+            self.state = shard_chain_state(self.state, mesh)
 
         # Fail fast on unusable starting points (reference: 500 init retries
         # then a hard error, src/sampler.rs:1133-1143).  Without this a bad
@@ -479,8 +518,27 @@ class Sampler:
                     return fn(*a, **k)
             return jax.jit(wrapped, donate_argnums=0)
 
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel.mesh import CHAIN_AXIS, chain_specs
+
+            state_specs = chain_specs(self.state)
+
+            def wrap_mesh(runner):
+                # flags are per-draw scalars (replicated); stats come back
+                # [draws, chains, ...] so the chain axis is axis 1.
+                return shard_map(
+                    runner, mesh=mesh, in_specs=(state_specs, P()),
+                    out_specs=(state_specs, P(None, CHAIN_AXIS)),
+                    check_rep=False)
+        else:
+            def wrap_mesh(runner):
+                return runner
+
         self._phase_runners = [
-            (start, end, jit_prec(runner))
+            (start, end, jit_prec(wrap_mesh(runner)))
             for start, end, runner in settings.build_phases(
                 model, self.strategy, config)
         ]
@@ -605,6 +663,7 @@ def sample(
     chunk_size: int = 128,
     init_positions=None,
     progress_callback=None,
+    mesh=None,
 ) -> Trace:
     """Sample from ``model`` — the TPU analog of ``Sampler::new`` + ``wait``.
 
@@ -616,7 +675,8 @@ def sample(
         settings = dataclasses.replace(settings, seed=seed)
     sampler = Sampler(
         model, settings, storage=storage, dtype=dtype, chunk_size=chunk_size,
-        init_positions=init_positions, progress_callback=progress_callback)
+        init_positions=init_positions, progress_callback=progress_callback,
+        mesh=mesh)
     return sampler.run()
 
 
