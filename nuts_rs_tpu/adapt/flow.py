@@ -33,8 +33,10 @@ class FlowAdaptSettings:
     step_size_window: float = 0.07
     transform_update_freq: int = 128
     transform_train_max_energy_error: float = 20.0
-    # use_orbit_for_training (per-leapfrog collection) is not supported in the
-    # batched device design; per-draw collection (the reference default) is.
+    # Collect every leapfrog point instead of one point per draw
+    # (external_adapt_strategy.rs:21,35: default false, matching here).  The
+    # NUTS kernel then fills fixed [2^maxdepth] orbit buffers per draw.
+    use_orbit_for_training: bool = False
     window_capacity: Optional[int] = None
 
 
@@ -124,6 +126,7 @@ class FlowStrategy:
         self.flow_settings: FlowAdaptSettings = getattr(
             settings, "flow", FlowAdaptSettings())
         self._num_tune = getattr(settings, "num_tune", 1500)
+        self.use_orbit = self.flow_settings.use_orbit_for_training
 
     def make_transform(self, dim, dtype):
         # Placeholder identity-ish params; replaced in init_mass_matrix once
@@ -133,7 +136,12 @@ class FlowStrategy:
         return FlowTransform(params=params, id=jnp.asarray(-1, jnp.int32))
 
     def init_extra(self, dim, num_tune, dtype, num_chains):
-        cap = self.flow_settings.window_capacity or num_tune
+        # Orbit mode accumulates ~n_steps points per draw, so the default
+        # window is wider (the reference's Vec grows unboundedly; a fixed
+        # masked window keeps shapes static on device).
+        default_cap = (min(num_tune * 8, 32768) if self.use_orbit
+                       else num_tune)
+        cap = self.flow_settings.window_capacity or default_cap
         w = new_flow_window(cap, dim, dtype)
         return jax.tree.map(
             lambda x: jnp.broadcast_to(x, (num_chains,) + x.shape), w)
@@ -162,6 +170,32 @@ class FlowStrategy:
         window = jax.vmap(flow_push)(state.extra, q, g, logp, include)
         return state._replace(extra=window)
 
+    def update_estimators_orbit(self, state, info):
+        """Push every valid leapfrog point of this draw into the training
+        window (DrawCollector with use_orbit_for_training,
+        external_adapt_strategy.rs:93-128); same finite/energy-error filter
+        as the per-draw path, applied per point."""
+        cap = info.orbit_q.shape[1]
+        max_err = self.flow_settings.transform_train_max_energy_error
+
+        def push_chain(w, oq, og, olp, oerr, n):
+            n_valid = jnp.minimum(n, cap)
+
+            def body(i, w):
+                q, g = oq[i], og[i]
+                include = ((i < n_valid)
+                           & jnp.isfinite(oerr[i]) & (oerr[i] <= max_err)
+                           & jnp.all(jnp.isfinite(q))
+                           & jnp.all(jnp.isfinite(g)))
+                return flow_push(w, q, g, olp[i], include)
+
+            return jax.lax.fori_loop(0, cap, body, w)
+
+        window = jax.vmap(push_chain)(
+            state.extra, info.orbit_q, info.orbit_g, info.orbit_logp,
+            info.orbit_err, info.n_steps)
+        return state._replace(extra=window)
+
     def switch(self, state):
         return state
 
@@ -171,8 +205,10 @@ class FlowStrategy:
 
         def refit(key, params, w):
             mask = jnp.arange(cap) < w.count
-            return self.spec.update(key, params, w.draws, w.grads, w.logps,
-                                    mask)
+            # Full-f32 training matmuls: the fitted flow defines the energy.
+            with jax.default_matmul_precision("highest"):
+                return self.spec.update(key, params, w.draws, w.grads,
+                                        w.logps, mask)
 
         params = jax.vmap(refit)(keys, state.transform.params, state.extra)
 

@@ -127,6 +127,15 @@ def compute_update(
     (low_rank.rs:73-124) with fixed shapes; invalid results (non-finite, or
     fewer than 3 window samples) leave the transform unchanged.
     """
+    with jax.default_matmul_precision("highest"):
+        return _compute_update_impl(w, transform, gamma, eigval_cutoff)
+
+
+def _compute_update_impl(w, transform, gamma, eigval_cutoff):
+    # Full-f32 matmuls throughout: bf16 default passes in the SVD/QR/Gram
+    # pipeline produce a noisy whitening transform, measured as a 9.4%
+    # post-warmup divergence rate on the 100-d low-rank config (0% with
+    # full-f32 estimation).
     cap, d = w.draws.shape
     dtype = w.draws.dtype
     idx = jnp.arange(cap, dtype=jnp.int32)

@@ -167,12 +167,16 @@ def make_draw_step(model, strategy, config: ChainConfig):
         sym_acc = _mean0(info.sum_accept_sym, n)
 
         # --- mass-matrix window (scalar-flag gated; adapt_strategy.rs:140-216) ---
-        state = jax.lax.cond(
-            flags["update_estimators"],
-            lambda s: strategy.update_estimators(
+        if getattr(strategy, "use_orbit", False):
+            # Flow orbit mode: train on every leapfrog point of the draw
+            # (external_adapt_strategy.rs:93-128).
+            update = lambda s: strategy.update_estimators_orbit(s, info)
+        else:
+            update = lambda s: strategy.update_estimators(
                 s, draw_pt.q, draw_pt.g, info.is_good_for_adapt,
-                logp=draw_pt.logp, energy_error=info.energy_error),
-            lambda s: s, state)
+                logp=draw_pt.logp, energy_error=info.energy_error)
+        state = jax.lax.cond(flags["update_estimators"], update,
+                             lambda s: s, state)
         state = jax.lax.cond(flags["do_switch"], strategy.switch,
                              lambda s: s, state)
         state = jax.lax.cond(flags["do_update"], strategy.adapt_update,

@@ -71,6 +71,11 @@ class NutsOptions:
     target_integration_time: Optional[float] = None
     kind: KineticKind = KineticKind.EUCLIDEAN
     store_divergences: bool = False
+    # Collect every leapfrog point (position, gradient, logp, energy error)
+    # into a fixed [2^maxdepth] buffer for flow training — the reference's
+    # ``use_orbit_for_training`` (external_adapt_strategy.rs:93-128).  Off by
+    # default: the buffers cost HBM bandwidth in the hot loop.
+    collect_orbit: bool = False
 
 
 class DivergenceInfo(NamedTuple):
@@ -107,6 +112,12 @@ class NutsInfo(NamedTuple):
     idx_in_trajectory: jax.Array  # [] i32 of the selected draw
     is_good_for_adapt: jax.Array  # [] bool (DrawGradCollector.is_good)
     divergence: DivergenceInfo
+    # Orbit buffers (opts.collect_orbit; capacity 1 otherwise): one row per
+    # leapfrog in creation order; rows >= min(n_steps, cap) are invalid.
+    orbit_q: jax.Array           # [cap, d]
+    orbit_g: jax.Array           # [cap, d]
+    orbit_logp: jax.Array        # [cap]
+    orbit_err: jax.Array         # [cap] point energy - initial energy
 
 
 class _Carry(NamedTuple):
@@ -142,6 +153,10 @@ class _Carry(NamedTuple):
     sum_accept_sym: jax.Array
     max_energy_error: jax.Array
     div_info: DivergenceInfo
+    orbit_q: jax.Array
+    orbit_g: jax.Array
+    orbit_logp: jax.Array
+    orbit_err: jax.Array
 
 
 def _empty_div_info(dim, dtype):
@@ -207,7 +222,15 @@ def _init_tree_carry(key, pt0, step_size, opts: NutsOptions, rand_dir):
         sum_accept_sym=jnp.zeros((), dtype),
         max_energy_error=jnp.zeros((), dtype),
         div_info=_empty_div_info(dim, dtype),
+        orbit_q=jnp.zeros((_orbit_cap(opts), dim), dtype),
+        orbit_g=jnp.zeros((_orbit_cap(opts), dim), dtype),
+        orbit_logp=jnp.zeros(_orbit_cap(opts), dtype),
+        orbit_err=jnp.zeros(_orbit_cap(opts), dtype),
     )
+
+
+def _orbit_cap(opts: NutsOptions) -> int:
+    return (1 << opts.maxdepth) if opts.collect_orbit else 1
 
 
 def _tree_finished(c: _Carry):
@@ -256,6 +279,22 @@ def _tree_body(c: _Carry, transform, logp_grad_fn, opts: NutsOptions,
     )
     div_info = jax.tree.map(
         lambda new, old: jnp.where(diverged, new, old), div_info, c.div_info)
+
+    # --- orbit collection (flow training; external_adapt_strategy.rs:93-128).
+    # In-bounds dynamic_update_slice row writes (the TPU-safe scatter form —
+    # the same pattern as the checkpoint stacks below).
+    if opts.collect_orbit:
+        cap = _orbit_cap(opts)
+        row = jnp.minimum(c.n_steps, cap - 1)
+        orbit_q = jax.lax.dynamic_update_slice(
+            c.orbit_q, new_pt.q[None, :], (row, jnp.int32(0)))
+        orbit_g = jax.lax.dynamic_update_slice(
+            c.orbit_g, new_pt.g[None, :], (row, jnp.int32(0)))
+        orbit_logp = c.orbit_logp.at[row].set(new_pt.logp)
+        orbit_err = c.orbit_err.at[row].set(new_pt.energy - initial_energy)
+    else:
+        orbit_q, orbit_g = c.orbit_q, c.orbit_g
+        orbit_logp, orbit_err = c.orbit_logp, c.orbit_err
 
     # --- progressive multinomial within the subtree ---
     logw_leaf = -res.energy_error
@@ -403,6 +442,8 @@ def _tree_body(c: _Carry, transform, logp_grad_fn, opts: NutsOptions,
         n_steps=n_steps, sum_accept=sum_accept,
         sum_accept_sym=sum_accept_sym, max_energy_error=max_err,
         div_info=div_info,
+        orbit_q=orbit_q, orbit_g=orbit_g,
+        orbit_logp=orbit_logp, orbit_err=orbit_err,
     )
 
 
@@ -426,6 +467,10 @@ def _extract_info(final: _Carry) -> tuple[Point, NutsInfo]:
         is_good_for_adapt=jnp.where(
             final.diverging, jnp.abs(draw.idx) > 4, draw.idx != 0),
         divergence=final.div_info,
+        orbit_q=final.orbit_q,
+        orbit_g=final.orbit_g,
+        orbit_logp=final.orbit_logp,
+        orbit_err=final.orbit_err,
     )
     return draw, info
 

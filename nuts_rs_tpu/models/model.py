@@ -67,8 +67,14 @@ class Model:
         Mirrors ``Math::logp_array`` (nuts-rs ``src/math/math.rs:46``): one
         fused value-and-gradient evaluation; this is the hot call of the whole
         sampler (see SURVEY.md §3.2).
+
+        Traced under full-f32 matmul precision: TPU f32 matmuls default to
+        bfloat16 multiply passes, which corrupts Hamiltonian energies for
+        matmul-heavy densities (measured: biased logistic-regression
+        posteriors).  Scoped here — tree bookkeeping keeps the fast default.
         """
-        logp, grad = jax.value_and_grad(self.logp_fn)(q)
+        with jax.default_matmul_precision("highest"):
+            logp, grad = jax.value_and_grad(self.logp_fn)(q)
         return logp, grad
 
     def init_position(self, key: jax.Array, dtype=None) -> jax.Array:

@@ -71,12 +71,14 @@ class NutsSettings:
     # dynamics, default tree options, no extra stores, and a logp that lowers
     # inside Pallas.
     posterior_kernel: str = "sync" 
-    # Matmul precision for everything the sampler traces.  TPU f32 matmuls
-    # default to bf16 multiply passes, which corrupts Hamiltonian energies
-    # for matmul-heavy logps (measured: biased logistic-regression
-    # posteriors and spurious low-rank divergences); "highest" forces full
-    # f32 MXU passes.
-    matmul_precision: str = "highest"
+    # Optional GLOBAL matmul-precision override for everything the sampler
+    # traces.  The energy-critical sites (Model.logp_and_grad, the low-rank
+    # transform matvecs, the flow maps) already run at "highest" locally —
+    # TPU f32 matmuls default to bf16 multiply passes, which corrupts
+    # Hamiltonian energies (measured: biased logistic-regression posteriors
+    # and spurious low-rank divergences).  None keeps tree bookkeeping at
+    # the fast default; set "highest" to force every matmul to full f32.
+    matmul_precision: Optional[str] = None
     # Cross-chain adaptation (TPU-native extension, SURVEY.md §2.12): pool
     # mass-matrix estimators and step-size acceptance statistics across all
     # chains (psum/pmean over the mesh axis when sharded).
@@ -100,6 +102,8 @@ class NutsSettings:
             target_integration_time=self.target_integration_time,
             kind=self.kinetic_energy,
             store_divergences=self.store_divergences,
+            collect_orbit=(self.mass_matrix == "flow"
+                           and self.flow.use_orbit_for_training),
         )
 
     def chain_config(self) -> ChainConfig:
@@ -214,7 +218,7 @@ class MclmcSettings:
     low_rank: LowRankSettings = LowRankSettings()
     use_grad_based_estimate: bool = True
     mass_matrix: str = "diag"
-    matmul_precision: str = "highest"
+    matmul_precision: Optional[str] = None
 
     @property
     def step_size_settings(self) -> StepSizeSettings:
@@ -479,8 +483,10 @@ class Sampler:
                 init_config)
 
         key = jax.random.key(settings.seed)
-        with jax.default_matmul_precision(
-                getattr(settings, "matmul_precision", "highest")):
+        precision = getattr(settings, "matmul_precision", None)
+        prec_ctx = (jax.default_matmul_precision(precision)
+                    if precision is not None else contextlib.nullcontext())
+        with prec_ctx:
             state = init_chain_state(
                 key, model, init_strategy, init_config, settings.num_chains,
                 settings.num_tune, self.dtype,
@@ -509,9 +515,10 @@ class Sampler:
         # Euclidean -> Microcanonical switch and the async posterior kernel
         # are host-known boundaries).  Runners trace under the configured
         # matmul precision.
-        precision = getattr(settings, "matmul_precision", "highest")
-
         def jit_prec(fn):
+            if precision is None:
+                return jax.jit(fn, donate_argnums=0)
+
             @functools.wraps(fn)
             def wrapped(*a, **k):
                 with jax.default_matmul_precision(precision):

@@ -68,8 +68,11 @@ def _lowrank_apply(vecs, vals, rhs):
 
     Mirrors ``Math::apply_lowrank_transform`` (nuts-rs src/math/math.rs:131).
     """
-    proj = vecs.T @ rhs
-    return rhs + vecs @ ((vals - 1.0) * proj)
+    # Full-f32 MXU passes: bf16 default passes here produce noisy energies
+    # and spurious divergences (these matvecs run twice per leapfrog).
+    with jax.default_matmul_precision("highest"):
+        proj = vecs.T @ rhs
+        return rhs + vecs @ ((vals - 1.0) * proj)
 
 
 def to_transformed(t: AffineTransform, q: jax.Array) -> jax.Array:

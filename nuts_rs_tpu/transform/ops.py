@@ -88,19 +88,23 @@ class FlowOps:
         self.spec = spec
 
     def eval_from_z(self, t: FlowTransform, z, logp_grad_fn):
-        (q, logdet), vjp = jax.vjp(
-            lambda zz: self.spec.forward(t.params, zz), z)
-        logp, g = logp_grad_fn(q)
-        # zg = (dq/dz)^T g + d(logdet)/dz: the gradient of the transformed
-        # log density logp(F(z)) + logdet(z) wrt z.
-        zg = vjp((g, jnp.ones_like(logdet)))[0]
+        # Full-f32 matmuls: the flow maps feed the energy directly.
+        with jax.default_matmul_precision("highest"):
+            (q, logdet), vjp = jax.vjp(
+                lambda zz: self.spec.forward(t.params, zz), z)
+            logp, g = logp_grad_fn(q)
+            # zg = (dq/dz)^T g + d(logdet)/dz: the gradient of the
+            # transformed log density logp(F(z)) + logdet(z) wrt z.
+            zg = vjp((g, jnp.ones_like(logdet)))[0]
         return q, logp, g, zg, logdet
 
     def eval_from_q(self, t: FlowTransform, q, g, logp_grad_fn):
-        z, logdet = self.spec.inverse(t.params, q)
-        # Recompute zg by differentiating through the forward map at z.
-        (_, _), vjp = jax.vjp(lambda zz: self.spec.forward(t.params, zz), z)
-        zg = vjp((g, jnp.ones_like(logdet)))[0]
+        with jax.default_matmul_precision("highest"):
+            z, logdet = self.spec.inverse(t.params, q)
+            # Recompute zg by differentiating through the forward map at z.
+            (_, _), vjp = jax.vjp(
+                lambda zz: self.spec.forward(t.params, zz), z)
+            zg = vjp((g, jnp.ones_like(logdet)))[0]
         return z, zg, logdet
 
 

@@ -117,3 +117,31 @@ def test_coupling_flow_sampling_funnel():
     # flow actually refit during warmup
     ids = trace.warmup_sample_stats["transformation_index"]
     assert ids.max() > 0
+
+
+def test_flow_orbit_collection_sampling():
+    # use_orbit_for_training (external_adapt_strategy.rs:21,35): the window
+    # is fed every leapfrog point, not one point per draw.  The flow must
+    # still adapt and sample correctly, and the window must fill much faster
+    # than the draw count.
+    from nuts_rs_tpu.adapt.flow import FlowAdaptSettings
+
+    model = gaussian.normal_logp(4, mu=3.0)
+    settings = nt.FlowNutsSettings(
+        num_tune=200, num_draws=200, num_chains=2, seed=0,
+        maxdepth=6,
+        flow_spec=diag_affine_flow(),
+        flow=FlowAdaptSettings(use_orbit_for_training=True,
+                               window_capacity=4096))
+    sampler = nt.Sampler(model, settings, chunk_size=100)
+    while not sampler.finished:
+        sampler.run_next_chunk()
+    trace = sampler.trace.finalize()
+    draws = trace.posterior["position"]
+    assert abs(draws.mean() - 3.0) < 0.15
+    assert not trace.sample_stats["diverging"].any()
+    # Orbit mode collected ~n_steps points per warmup draw (>> 200 draws).
+    counts = np.asarray(sampler.state.extra.count)
+    n_warmup_steps = trace.warmup_sample_stats["n_steps"].sum(axis=1)
+    assert (counts > 400).all()
+    assert (counts <= n_warmup_steps).all()
