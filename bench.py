@@ -58,15 +58,10 @@ def run_bench(num_chains=1024, dim=10, num_tune=300, num_draws=700, maxdepth=10)
     grad_evals = int(n_steps.sum())
     grad_evals_per_sec = grad_evals / t_sample
 
-    # ESS via batch-means on the first coordinate (cheap, conservative).
-    x = draws[..., 0]
-    c, k = x.shape
-    nb = max(1, k // 50)
-    bm = x[:, : nb * 50].reshape(c, nb, 50).mean(axis=2)
-    var_bm = bm.var(axis=1, ddof=1).mean()
-    var_x = x.var(ddof=1)
-    ess_per_chain = k * var_x / (50 * var_bm)
-    ess_total = float(ess_per_chain * c)
+    # Bulk ESS (rank-normalized Geyer estimator) on the first coordinate.
+    from nuts_rs_tpu.diagnostics import ess_bulk
+
+    ess_total = float(ess_bulk(draws[..., 0]))
     ess_per_sec = ess_total / t_sample
 
     mean_err = abs(float(draws.mean()) - 3.0)

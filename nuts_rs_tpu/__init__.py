@@ -33,6 +33,7 @@ from .sampler import (
     sample,
     sample_sequentially,
 )
+from .diagnostics import ess_bulk, ess_tail, split_rhat, summary
 from .storage.arrow import ArrowConfig
 from .storage.csv import CsvConfig
 from .storage.memory import MemoryConfig, Trace
@@ -61,6 +62,10 @@ __all__ = [
     "StepSizeMethod",
     "StepSizeSettings",
     "Trace",
+    "ess_bulk",
+    "ess_tail",
+    "split_rhat",
+    "summary",
     "sample",
     "sample_sequentially",
 ]
