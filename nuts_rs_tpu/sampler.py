@@ -416,6 +416,7 @@ class Sampler:
         init_positions=None,
         progress_callback=None,
         mesh=None,
+        profile_dir: Optional[str] = None,
     ):
         # Mesh execution (SURVEY.md §2.12): shard the chain axis over a
         # ``jax.sharding.Mesh`` with ``shard_map`` so chains scale across
@@ -562,6 +563,11 @@ class Sampler:
         self._total = settings.num_tune + settings.num_draws
         self._expand_key = jax.random.key(settings.seed + 1)
         self._paused = False
+        # Opt-in device profiling (SURVEY.md §5 tracing): each chunk runs
+        # under a jax profiler trace written to profile_dir, viewable in
+        # TensorBoard/Perfetto.  The reference's only observability is
+        # per-draw stats; the per-draw stats pipeline here is unchanged.
+        self._profile_dir = profile_dir
         self._last_callback = 0.0
         # Rate-limit the progress callback like the reference's
         # ProgressCallback (src/sampler.rs:1262-1265,1340-1363).
@@ -579,7 +585,12 @@ class Sampler:
         flags = _schedule_chunk(self.schedule, lo, hi)
         flags = self.settings.extra_flags(flags, lo, hi)
         t0 = time.monotonic()
-        self.state, stats = runner(self.state, flags)
+        if self._profile_dir is not None:
+            with jax.profiler.trace(self._profile_dir):
+                self.state, stats = runner(self.state, flags)
+                jax.block_until_ready(stats)
+        else:
+            self.state, stats = runner(self.state, flags)
 
         # Device -> host; [k, C, ...] -> [C, k, ...]
         stats = jax.tree.map(lambda x: np.moveaxis(np.asarray(x), 0, 1), stats)
