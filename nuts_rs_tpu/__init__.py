@@ -23,6 +23,7 @@ from .sampler import (
     ChainProgress,
     DiagMclmcSettings,
     DiagNutsSettings,
+    FlowMclmcSettings,
     FlowNutsSettings,
     LowRankMclmcSettings,
     LowRankNutsSettings,
@@ -50,10 +51,18 @@ __all__ = [
     "make_mesh",
     "AdaptScheduleOptions",
     "ChainProgress",
+    "DiagMclmcSettings",
     "DiagNutsSettings",
     "DualAverageOptions",
+    "FlowAdaptSettings",
+    "FlowMclmcSettings",
+    "FlowNutsSettings",
     "KineticKind",
+    "LowRankMclmcSettings",
     "LowRankNutsSettings",
+    "LowRankSettings",
+    "MclmcSettings",
+    "MclmcTrajectoryKind",
     "MemoryConfig",
     "Model",
     "NutsOptions",

@@ -111,7 +111,6 @@ def build_flow_schedule(num_tune: int, num_draws: int,
         use_late_estimator=use_late,
         reinit_step_size=np.zeros(total, bool),
         use_best_guess=use_best,
-        skip_stepsize_update=np.zeros(total, bool),
         advance_da=advance,
     )
 

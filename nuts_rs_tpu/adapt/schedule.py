@@ -45,7 +45,6 @@ class AdaptSchedule(NamedTuple):
     use_late_estimator: np.ndarray  # bool: dual-avg uses symmetric accept mean
     reinit_step_size: np.ndarray  # bool: re-run the step-size init search
     use_best_guess: np.ndarray   # bool: update_stepsize(use_best_guess=...)
-    skip_stepsize_update: np.ndarray  # bool: draw where init search replaces it
     advance_da: np.ndarray       # bool: advance dual averaging this draw
 
 
@@ -64,7 +63,6 @@ def build_schedule(num_tune: int, num_draws: int,
     use_late = np.zeros(total, bool)
     reinit = np.zeros(total, bool)
     use_best = np.zeros(total, bool)
-    skip_ss = np.zeros(total, bool)
     advance_da = np.zeros(total, bool)
 
     # Counter state of the simulated strategy (all-good-draws assumption).
@@ -121,9 +119,12 @@ def build_schedule(num_tune: int, num_draws: int,
             advance_da[draw] = True
 
             if did_change and has_initial_mass_matrix:
+                # The reference also skips update_stepsize on this draw
+                # (adapt_strategy.rs:207-212); here reset_from_found_step
+                # fully overwrites the dual-averaging state, so no separate
+                # skip flag is needed.
                 has_initial_mass_matrix = False
                 reinit[draw] = True
-                skip_ss[draw] = True
         else:
             use_late[draw] = True
             advance_da[draw] = True
@@ -137,6 +138,5 @@ def build_schedule(num_tune: int, num_draws: int,
         use_late_estimator=use_late,
         reinit_step_size=reinit,
         use_best_guess=use_best,
-        skip_stepsize_update=skip_ss,
         advance_da=advance_da,
     )

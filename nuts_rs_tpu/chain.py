@@ -59,6 +59,9 @@ class ChainConfig:
     store_transformed: bool = False
     store_divergences: bool = False
     store_mass_matrix: bool = False
+    # Low-rank MatrixStats emission (nuts-rs LowRankSettings.store_mass_matrix,
+    # src/transform/low_rank.rs:195,236): eigenvalues + count per update event.
+    store_mass_matrix_eigs: bool = False
 
 
 class DiagStrategy:
@@ -254,6 +257,14 @@ def make_draw_step(model, strategy, config: ChainConfig):
         if config.store_mass_matrix:
             stats["mass_matrix_inv"] = state.transform.stds
             stats["transformation_mu"] = state.transform.mean
+        if config.store_mass_matrix_eigs and state.transform.vecs is not None:
+            # MatrixStats (low_rank.rs:210-222): padded directions carry
+            # lam == 1 exactly, so the count of selected eigendirections is
+            # the number of entries differing from 1.
+            vals = jnp.square(state.transform.vals_sqrt)
+            stats["mass_matrix_eigvals"] = vals
+            stats["num_eigenvalues"] = jnp.sum(
+                (vals != 1.0).astype(jnp.int32), axis=-1)
 
         return state, stats
 
@@ -269,7 +280,7 @@ def init_chain_state(
     num_tune: int,
     dtype,
     init_positions: Optional[jax.Array] = None,
-    init_retries: int = 100,
+    init_retries: int = 500,
 ) -> ChainState:
     """Set up all chains: init positions, mass-matrix init, step-size search.
 

@@ -221,11 +221,9 @@ def mclmc_draw(
                                     ops=ops, logp_grad_fn=logp_grad_fn)
     out_pt = point_where(final.diverged, pt_fail, final.pt)
 
-    energy_change = jnp.where(
-        final.diverged,
-        final.pt.energy - initial_energy,
-        final.pt.energy - initial_energy,
-    )
+    # Energy change of the trajectory end (also stored on divergence:
+    # the reference reports the diverged trajectory's energy, mclmc.rs:441).
+    energy_change = final.pt.energy - initial_energy
 
     steps_f = jnp.maximum(final.steps, 1).astype(dtype)
     info = MclmcInfo(

@@ -116,6 +116,8 @@ class NutsSettings:
             store_transformed=self.store_transformed,
             store_divergences=self.store_divergences,
             store_mass_matrix=self.store_mass_matrix,
+            store_mass_matrix_eigs=(self.mass_matrix == "low_rank"
+                                    and self.low_rank.store_mass_matrix),
             cross_chain_step_size=self.cross_chain_adaptation,
             axis_name=self.mesh_axis_name,
         )
@@ -216,6 +218,8 @@ class MclmcSettings:
     trajectory_switch_fraction: float = 0.3
     adapt: AdaptScheduleOptions = AdaptScheduleOptions()
     low_rank: LowRankSettings = LowRankSettings()
+    flow: FlowAdaptSettings = FlowAdaptSettings()
+    flow_spec: Any = None  # FlowSpec; None -> built-in coupling flow
     use_grad_based_estimate: bool = True
     mass_matrix: str = "diag"
     matmul_precision: Optional[str] = None
@@ -239,6 +243,8 @@ class MclmcSettings:
             store_transformed=self.store_transformed,
             store_divergences=self.store_divergences,
             store_mass_matrix=self.store_mass_matrix,
+            store_mass_matrix_eigs=(self.mass_matrix == "low_rank"
+                                    and self.low_rank.store_mass_matrix),
         )
 
     @property
@@ -312,6 +318,16 @@ def LowRankMclmcSettings(**kw) -> MclmcSettings:
     kw.setdefault("num_tune", 800)
     kw.setdefault("mass_matrix", "low_rank")
     kw.setdefault("adapt", AdaptScheduleOptions(early_mass_matrix_switch_freq=20))
+    return MclmcSettings(**kw)
+
+
+def FlowMclmcSettings(**kw) -> MclmcSettings:
+    """Defaults of nuts-rs ``FlowMclmcSettings`` (src/sampler.rs:334,390-392):
+    1500 tuning draws, 1 chain, max_energy_error 20, learned-flow transform."""
+    kw.setdefault("num_tune", 1500)
+    kw.setdefault("num_chains", 1)
+    kw.setdefault("max_energy_error", 20.0)
+    kw.setdefault("mass_matrix", "flow")
     return MclmcSettings(**kw)
 
 
@@ -390,7 +406,6 @@ def _schedule_chunk(sched: AdaptSchedule, lo: int, hi: int) -> Mapping[str, jax.
         "use_late_estimator": jnp.asarray(sched.use_late_estimator[lo:hi]),
         "reinit_step_size": jnp.asarray(sched.reinit_step_size[lo:hi]),
         "use_best_guess": jnp.asarray(sched.use_best_guess[lo:hi]),
-        "skip_stepsize_update": jnp.asarray(sched.skip_stepsize_update[lo:hi]),
         "advance_da": jnp.asarray(sched.advance_da[lo:hi]),
     }
 
@@ -577,7 +592,15 @@ class Sampler:
     def finished(self) -> bool:
         return self._next_draw >= self._total
 
-    def run_next_chunk(self) -> None:
+    def run_next_chunk(self):
+        """Launch one chunk and stream it to storage.
+
+        Returns ``(lo, stats, tuning)`` — the chunk's first global draw index,
+        the host-side stats dict (``stats[name]`` shaped [chains, k, ...]
+        including expanded deterministics), and the per-draw tuning mask — so
+        callers like :func:`sample_sequentially` can consume draws lazily as
+        they land.
+        """
         lo = self._next_draw
         start, end, runner = next(
             (s, e, r) for s, e, r in self._phase_runners if s <= lo < e)
@@ -615,9 +638,18 @@ class Sampler:
                     or self.finished):
                 self._last_callback = now
                 self.progress_callback(self.progress)
+        return lo, {**stats, **expanded}, tuning
 
     def _update_progress(self, lo, stats, tuning, elapsed):
         k = stats["diverging"].shape[1]
+        # Per-chain runtime estimate: chains share one device computation, so
+        # the chunk wall-clock is common; a chain's *active* time is
+        # proportional to its leapfrog count, with the busiest chain defining
+        # the wall (straggler effect under the async/pallas kernels).  The
+        # reference accumulates genuine per-chain thread time
+        # (src/sampler.rs:1038-1050); this is the batched-execution analog.
+        steps_per_chain = stats["n_steps"].sum(axis=1).astype(np.float64)
+        max_steps = max(float(steps_per_chain.max()), 1.0)
         for c, prog in enumerate(self.progress):
             prog.started = True
             div_mask = stats["diverging"][c] & ~tuning
@@ -628,7 +660,7 @@ class Sampler:
             prog.latest_num_steps = int(stats["n_steps"][c, -1])
             prog.total_num_steps += int(stats["n_steps"][c].sum())
             prog.step_size = float(stats["step_size"][c, -1])
-            prog.runtime += elapsed
+            prog.runtime += elapsed * (steps_per_chain[c] / max_steps)
 
     def pause(self) -> None:
         """Stop launching further chunks from :meth:`run` (the reference's
@@ -649,6 +681,32 @@ class Sampler:
                 "sampler paused before completion; call resume() and run() "
                 "again, or inspect() the partial trace")
         return self.trace.finalize()
+
+    def wait_timeout(self, timeout: float) -> Optional[Trace]:
+        """Run until finished or ``timeout`` seconds elapse (the reference's
+        ``Sampler::wait_timeout``, src/sampler.rs:1526-1542).
+
+        Returns the finalized trace when sampling completed within the
+        timeout, else ``None`` — the sampler keeps its state and a later
+        ``wait_timeout``/``run`` call continues where it stopped.  The check
+        runs between chunks (chains are one device computation), so the
+        actual wait can overshoot by up to one chunk's runtime.
+        """
+        deadline = time.monotonic() + timeout
+        while not self.finished:
+            if self._paused or time.monotonic() >= deadline:
+                return None
+            self.run_next_chunk()
+        return self.trace.finalize()
+
+    def abort(self) -> Any:
+        """Stop sampling now and return the partial results (the reference's
+        ``Sampler::abort``, src/sampler.rs:1516-1524, which joins the workers
+        and returns the trace written so far).  Storage is flushed; the
+        returned value is the backend's ``inspect()`` snapshot."""
+        self._paused = True
+        self.trace.flush()
+        return self.trace.inspect()
 
     # ---- checkpoint / resume (capability absent from the reference;
     # SURVEY.md §5 recommends adding it since device state is one pytree) ----
@@ -698,21 +756,36 @@ def sample(
     return sampler.run()
 
 
-def sample_sequentially(model, settings, start, draws, chain=0, seed=0):
-    """Single-chain iterator API (nuts-rs ``sample_sequentially``, sampler.rs:994).
+def sample_sequentially(model, settings, start, draws, chain=0, seed=0,
+                        chunk_size: int = 16):
+    """Single-chain lazy iterator API (nuts-rs ``sample_sequentially``,
+    src/sampler.rs:994-1005: each ``next()`` advances the chain).
 
-    Yields ``(position, progress_dict)`` per draw.  Provided for parity; the
-    batched :func:`sample` is the fast path.
+    ``draws`` counts total ``draw()`` calls — the first ``num_tune`` of them
+    are tuning draws, exactly like calling the reference's chain ``draws``
+    times.  Yields ``(position, progress_dict)`` per draw, where the progress
+    dict mirrors the reference's ``Progress`` fields (chain.rs:178-188).
+
+    Sampling is lazy at ``chunk_size`` granularity: the next device chunk is
+    launched only when the previous chunk's draws have been consumed
+    (``chunk_size=1`` gives strict per-draw laziness; larger chunks amortize
+    launch overhead).  The batched :func:`sample` is the fast path.
     """
-    settings = dataclasses.replace(settings, num_chains=1, num_draws=draws,
-                                   seed=seed)
-    sampler = Sampler(model, settings, chunk_size=min(64, draws),
+    num_tune = min(getattr(settings, "num_tune", 0), draws)
+    settings = dataclasses.replace(settings, num_chains=1, num_tune=num_tune,
+                                   num_draws=draws - num_tune, seed=seed)
+    sampler = Sampler(model, settings, chunk_size=max(1, min(chunk_size, draws)),
                       init_positions=np.asarray(start)[None, :])
-    trace = sampler.run()
-    draws_arr = np.concatenate(
-        [trace.warmup_posterior["position"], trace.posterior["position"]], axis=1)
-    stats_div = np.concatenate(
-        [trace.warmup_sample_stats["diverging"], trace.sample_stats["diverging"]],
-        axis=1)
-    for i in range(draws_arr.shape[1]):
-        yield draws_arr[0, i], {"diverging": bool(stats_div[0, i]), "draw": i}
+    while not sampler.finished:
+        lo, stats, tuning = sampler.run_next_chunk()
+        k = len(tuning)
+        for j in range(k):
+            progress = {
+                "draw": lo + j,
+                "chain": chain,
+                "diverging": bool(stats["diverging"][0, j]),
+                "tuning": bool(tuning[j]),
+                "step_size": float(stats["step_size"][0, j]),
+                "num_steps": int(stats["n_steps"][0, j]),
+            }
+            yield np.asarray(stats["position"][0, j]), progress

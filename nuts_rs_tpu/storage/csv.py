@@ -77,8 +77,9 @@ class CsvStorage(TraceStorage):
             f = self._files[c]
             for j in range(k):
                 draw = start_draw + j
-                # warmup rows get negative ids (csv.rs:19-24)
-                sid = draw - self.num_tune if tuning[j] else draw - self.num_tune
+                # Warmup rows get negative ids, posterior rows count from 0
+                # (csv.rs:19-24) — one expression covers both.
+                sid = draw - self.num_tune
                 row = [str(sid)]
                 for source, name, shape in self._layout:
                     arr = stats.get(name) if source == "stats" else expanded.get(name)

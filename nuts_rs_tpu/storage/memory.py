@@ -93,6 +93,10 @@ class MemoryStorage(TraceStorage):
                 if "mass_matrix_inv" in stats:
                     rec["mass_matrix_inv"] = stats["mass_matrix_inv"][c][ev]
                     rec["transformation_mu"] = stats["transformation_mu"][c][ev]
+                # Low-rank MatrixStats (low_rank.rs:210-222).
+                if "mass_matrix_eigvals" in stats:
+                    rec["mass_matrix_eigvals"] = stats["mass_matrix_eigvals"][c][ev]
+                    rec["num_eigenvalues"] = stats["num_eigenvalues"][c][ev]
                 updates.append(rec)
 
         model = self._model

@@ -152,8 +152,6 @@ class ZarrStorage(TraceStorage):
 
     def _write_coords(self):
         coords = dict(getattr(self.model, "coords", None) or {})
-        for (gname, _), buf in list(self.groups.items()):
-            pass
         for name, values in coords.items():
             arr = np.asarray(values)
             if arr.dtype.kind in "OU":
@@ -226,6 +224,11 @@ class ZarrStorage(TraceStorage):
                                 stats["mass_matrix_inv"])[c, j]
                             ev["transformation_mu"] = np.asarray(
                                 stats["transformation_mu"])[c, j]
+                        if "mass_matrix_eigvals" in stats:
+                            ev["mass_matrix_eigvals"] = np.asarray(
+                                stats["mass_matrix_eigvals"])[c, j]
+                            ev["num_eigenvalues"] = np.asarray(
+                                stats["num_eigenvalues"])[c, j]
                         self._events["transformation_update"].append(ev)
                     prev = row[j]
                 self._last_transform_id[c] = prev
@@ -272,7 +275,22 @@ class ZarrStorage(TraceStorage):
             self._writer.flush()
 
     def inspect(self):
-        return self.path
+        """Readable snapshot of the live trace (nuts-rs ``ChainStorage::
+        inspect``, src/storage/core.rs:28-33): flushes full chunks, drains the
+        async writer, and reads back every array written so far, trimmed to
+        the draws actually on disk.  Returns ``{group: {name: array}}``."""
+        from .zarr_format import read_array
+
+        self.flush()
+        snapshot: Dict[str, Dict[str, np.ndarray]] = {}
+        for (kind, is_warm), buf in self.groups.items():
+            gname = ("warmup_" if is_warm else "") + kind
+            out: Dict[str, np.ndarray] = {}
+            for name in buf.arrays:
+                arr = read_array(os.path.join(self.path, gname, name))
+                out[name] = arr[:, :buf.written]
+            snapshot[gname] = out
+        return snapshot
 
 
 def _settings_json(settings) -> str:

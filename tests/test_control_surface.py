@@ -1,0 +1,123 @@
+"""Sampler control-surface parity tests.
+
+Covers the reference's controller API beyond plain ``run``:
+``sample_sequentially`` as a true lazy iterator (src/sampler.rs:994-1005),
+``wait_timeout``/``abort`` (src/sampler.rs:1516-1542), and ``inspect()``
+returning a readable snapshot of a live Zarr trace
+(src/storage/core.rs:28-33).
+"""
+
+import numpy as np
+import pytest
+
+import nuts_rs_tpu as nt
+from nuts_rs_tpu.models import gaussian
+
+
+def test_sample_sequentially_lazy_and_complete():
+    model = gaussian.normal_logp(3, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=20, num_draws=30, seed=4)
+    it = nt.sample_sequentially(model, settings, start=np.zeros(3), draws=50,
+                                chunk_size=10)
+    rows = list(it)
+    assert len(rows) == 50
+    pos, prog = rows[0]
+    assert pos.shape == (3,)
+    assert prog["tuning"] is True and prog["draw"] == 0
+    assert rows[19][1]["tuning"] is True
+    assert rows[20][1]["tuning"] is False
+    assert rows[-1][1]["draw"] == 49
+    assert all(np.isfinite(p).all() for p, _ in rows)
+    # num_steps/step_size mirror the reference's Progress fields
+    assert prog["num_steps"] >= 1 and prog["step_size"] > 0
+
+
+def test_sample_sequentially_is_lazy():
+    # Consuming 3 draws with chunk_size=10 must launch exactly one chunk.
+    model = gaussian.normal_logp(3, mu=0.0)
+    settings = nt.DiagNutsSettings(num_tune=50, num_draws=50, seed=8)
+    it = nt.sample_sequentially(model, settings, start=np.zeros(3), draws=100,
+                                chunk_size=10)
+    launched = []
+    for i, (pos, prog) in enumerate(it):
+        launched.append(prog["draw"])
+        if i == 2:
+            break
+    assert launched == [0, 1, 2]
+    # generator abandoned after 3 draws: no error, no full run
+
+
+def test_sample_sequentially_matches_batched():
+    # Same seed, same chunking -> identical draws to the batched API.
+    model = gaussian.normal_logp(3, mu=2.0)
+    settings = nt.DiagNutsSettings(num_tune=20, num_draws=30, num_chains=1,
+                                   seed=4)
+    start = np.full(3, 0.5)
+    seq = [p for p, pr in nt.sample_sequentially(
+        model, settings, start=start, draws=50, seed=4, chunk_size=25)
+        if not pr["tuning"]]
+    batched = nt.sample(model, settings, init_positions=start[None, :],
+                        chunk_size=25)
+    np.testing.assert_array_equal(np.stack(seq),
+                                  batched.posterior["position"][0])
+
+
+def test_wait_timeout_and_resume():
+    model = gaussian.normal_logp(4, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=40, num_draws=40, num_chains=2,
+                                   seed=6)
+    sam = nt.Sampler(model, settings, chunk_size=10)
+    # zero timeout: returns None without finishing
+    out = sam.wait_timeout(0.0)
+    assert out is None
+    assert not sam.finished
+    # generous timeout: completes and finalizes
+    trace = sam.wait_timeout(600.0)
+    assert trace is not None
+    assert trace.posterior["position"].shape == (2, 40, 4)
+
+
+def test_abort_returns_partial_snapshot():
+    model = gaussian.normal_logp(4, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=40, num_draws=40, num_chains=2,
+                                   seed=6)
+    sam = nt.Sampler(model, settings, chunk_size=10)
+    sam.run_next_chunk()
+    sam.run_next_chunk()
+    snap = sam.abort()
+    # memory backend: a Trace-like object built from what was recorded
+    assert snap.warmup_posterior["position"].shape == (2, 20, 4)
+    # aborted samplers refuse to run() further
+    with pytest.raises(RuntimeError):
+        sam.run()
+
+
+def test_zarr_inspect_partial(tmp_path):
+    from nuts_rs_tpu.storage.zarr import ZarrConfig
+
+    model = gaussian.normal_logp(3, mu=0.0)
+    settings = nt.DiagNutsSettings(num_tune=30, num_draws=50, num_chains=2,
+                                   seed=7)
+    storage = ZarrConfig(str(tmp_path / "trace.zarr"), chunk_draws=10,
+                         async_writes=False)
+    sam = nt.Sampler(model, settings, storage=storage, chunk_size=25)
+    sam.run_next_chunk()  # draws 0..24 (all warmup + 0 posterior? 25 > 30 no)
+    snap = sam.inspect()
+    # 25 warmup draws seen; only full 10-draw chunks are on disk -> 20
+    w = snap["warmup_posterior"]["position"]
+    assert w.shape == (2, 20, 3)
+    assert np.isfinite(w).all()
+    sam.run_next_chunk()  # through draw 49: warmup complete, 20 posterior
+    snap = sam.inspect()
+    assert snap["warmup_posterior"]["position"].shape == (2, 30, 3)
+    assert snap["posterior"]["position"].shape[1] >= 10
+    # finishing still works after inspect
+    while not sam.finished:
+        sam.run_next_chunk()
+    path = sam.trace.finalize()
+    from nuts_rs_tpu.storage.zarr_format import read_array
+    import os
+
+    full = read_array(os.path.join(path, "posterior", "position"))
+    assert full.shape == (2, 50, 3)
+    assert np.isfinite(full).all()
