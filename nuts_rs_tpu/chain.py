@@ -26,7 +26,10 @@ from .adapt.schedule import AdaptSchedule
 from .dynamics.hamiltonian import KineticKind, init_point_from_q
 from .dynamics.point import Point
 from .kernels.nuts import NutsOptions, nuts_draw
+from .parallel.axis import dsum
 from .transform.affine import AffineTransform, identity_transform, init_diag_from_grad
+from .transform.affine import grad_to_transformed as grad_to_transformed_
+from .transform.affine import to_transformed as to_transformed_
 from .transform.ops import AFFINE_OPS
 
 
@@ -238,7 +241,7 @@ def make_draw_step(model, strategy, config: ChainConfig):
             "energy_error": info.energy_error,
             "index_in_trajectory": info.idx_in_trajectory,
             "fisher_distance": jax.vmap(
-                lambda z, zg: jnp.sum(jnp.square(z + zg)))(draw_pt.z, draw_pt.zg),
+                lambda z, zg: dsum(jnp.square(z + zg)))(draw_pt.z, draw_pt.zg),
             "transformation_index": state.transform.id,
             "tuning": jnp.broadcast_to(flags["is_tuning"], info.depth.shape),
         }
@@ -409,7 +412,7 @@ def make_mclmc_draw_step(model, strategy, config: ChainConfig, mopts):
             "logp": draw_pt.logp,
             "energy": draw_pt.energy,
             "fisher_distance": jax.vmap(
-                lambda z, zg: jnp.sum(jnp.square(z + zg)))(draw_pt.z, draw_pt.zg),
+                lambda z, zg: dsum(jnp.square(z + zg)))(draw_pt.z, draw_pt.zg),
             "transformation_index": state.transform.id,
             "tuning": jnp.broadcast_to(flags["is_tuning"],
                                        info.diverging.shape),
@@ -600,6 +603,168 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
             "transformation_index": jnp.broadcast_to(
                 state.transform.id[None, :], (k,) + state.transform.id.shape),
             "tuning": jnp.zeros((k,) + bars.shape, bool),
+        }
+        return state, stats
+
+    return runner
+
+
+def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
+                              base_seed: int, use_grad_based: bool):
+    """Warmup-phase runner on the fused Pallas engine.
+
+    Runs whole chunks of tuning draws inside one ``pallas_call`` with the
+    fg/bg Welford estimators, diagonal mass-matrix rule, and dual averaging
+    executed in-kernel (see kernels/nuts_pallas.py, warmup section).  The
+    step-size init-search re-run on the first mass-matrix change stays on the
+    XLA path: it fires on the chunk whose last draw carries
+    ``reinit_step_size`` (the sampler splits the warmup phase there).
+
+    Signature matches the scan runners: ``(state, flags) -> (state, stats)``
+    with ``stats[name]`` shaped [k, C, ...].
+    """
+    from .kernels.nuts_pallas import (
+        NFLAGS, NSCA, SCA_CNT_BG, SCA_CNT_FG, SCA_DA_CNT, SCA_DA_HBAR,
+        SCA_DA_LS, SCA_DA_LSA, SCA_DA_MU, SCA_LOGDET, SCA_STEP, SCA_TID,
+        nuts_pallas_warmup_run,
+    )
+
+    sset = config.step_size
+
+    if model.pallas_logp_grad is not None:
+        logp_grad_batched, pallas_args = model.pallas_logp_grad
+    elif model.pallas_spec is not None:
+        logp_fn_args, pallas_args = model.pallas_spec
+
+        def logp_grad_batched(q, *args):  # [d, B] -> ([B], [d, B])
+            f = lambda qq: logp_fn_args(qq, *args)
+            return jax.vmap(jax.value_and_grad(f), in_axes=1,
+                            out_axes=(0, 1))(q)
+    else:
+        pallas_args = ()
+
+        def logp_grad_batched(q):
+            return jax.vmap(model.logp_and_grad, in_axes=1, out_axes=(0, 1))(q)
+
+    interpret = jax.default_backend() != "tpu"
+    dim = model.dim
+
+    def runner(state: ChainState, flags):
+        k = flags["is_tuning"].shape[0]
+        dtype = state.pt.q.dtype
+
+        flag_cols = jnp.zeros((k, NFLAGS), jnp.int32)
+        for col, name in [(0, "update_estimators"), (1, "do_update"),
+                          (2, "advance_da"), (3, "use_late_estimator"),
+                          (4, "use_best_guess"), (5, "do_switch")]:
+            flag_cols = flag_cols.at[:, col].set(
+                flags[name].astype(jnp.int32))
+
+        # pack estimator planes [C, 8, d] and scalar rows [C, NSCA]
+        a = state.diag_adapt
+        est = jnp.stack([
+            a.draw.mean, a.draw.var_sum, a.grad.mean, a.grad.var_sum,
+            a.draw_bg.mean, a.draw_bg.var_sum, a.grad_bg.mean,
+            a.grad_bg.var_sum,
+        ], axis=1)
+        sca = jnp.zeros((state.pt.q.shape[0], NSCA), dtype)
+        for row, val in [
+            (SCA_STEP, state.step.step_size),
+            (SCA_DA_LS, state.step.log_step),
+            (SCA_DA_LSA, state.step.log_step_adapted),
+            (SCA_DA_HBAR, state.step.hbar),
+            (SCA_DA_MU, state.step.mu),
+            (SCA_DA_CNT, state.step.count),
+            (SCA_CNT_FG, a.draw.count),
+            (SCA_CNT_BG, a.draw_bg.count),
+            (SCA_TID, state.transform.id.astype(dtype)),
+            (SCA_LOGDET, state.transform.logdet),
+        ]:
+            sca = sca.at[:, row].set(val)
+
+        seed = (jnp.int32(base_seed & 0x7FFFFFFF)
+                ^ (state.draw_idx * jnp.int32(2654435761 & 0x7FFFFFFF)))
+        (q_f, g_f, logp_f, stds_f, mean_f, est_f, sca_f, draws,
+         out) = nuts_pallas_warmup_run(
+            seed, flag_cols, state.pt.q, state.pt.g, state.pt.logp,
+            state.transform.stds, state.transform.mean, est, sca,
+            logp_grad_batched, config.nuts, sset, use_grad_based,
+            interpret=interpret, model_args=pallas_args)
+
+        q_f = q_f.astype(dtype)
+        g_f = g_f.astype(dtype)
+        stds_f = stds_f.astype(dtype)
+        mean_f = mean_f.astype(dtype)
+        est_f = est_f.astype(dtype)
+        sca_f = sca_f.astype(dtype)
+
+        transform = state.transform._replace(
+            stds=stds_f, mean=mean_f, inv_stds=1.0 / stds_f,
+            logdet=sca_f[:, SCA_LOGDET],
+            id=sca_f[:, SCA_TID].astype(jnp.int32))
+        rv = lambda m, v, c: mm.RunningVariance(mean=m, var_sum=v, count=c)
+        diag_adapt = mm.DiagAdaptState(
+            draw=rv(est_f[:, 0], est_f[:, 1], sca_f[:, SCA_CNT_FG]),
+            grad=rv(est_f[:, 2], est_f[:, 3], sca_f[:, SCA_CNT_FG]),
+            draw_bg=rv(est_f[:, 4], est_f[:, 5], sca_f[:, SCA_CNT_BG]),
+            grad_bg=rv(est_f[:, 6], est_f[:, 7], sca_f[:, SCA_CNT_BG]),
+        )
+        step = state.step._replace(
+            log_step=sca_f[:, SCA_DA_LS],
+            log_step_adapted=sca_f[:, SCA_DA_LSA],
+            hbar=sca_f[:, SCA_DA_HBAR],
+            mu=sca_f[:, SCA_DA_MU],
+            count=sca_f[:, SCA_DA_CNT],
+            step_size=sca_f[:, SCA_STEP],
+        )
+        z_f = jax.vmap(to_transformed_)(transform, q_f)
+        zg_f = jax.vmap(grad_to_transformed_)(transform, g_f)
+        pt = state.pt._replace(q=q_f, g=g_f, z=z_f, zg=zg_f,
+                               logp=logp_f.astype(dtype))
+        state = state._replace(pt=pt, transform=transform,
+                               diag_adapt=diag_adapt, step=step,
+                               draw_idx=state.draw_idx + k)
+
+        # First-mass-matrix-change step-size re-init (adapt_strategy.rs:207-212)
+        # fires when this chunk's last draw carries the flag.
+        def with_reinit(st):
+            keys = jax.vmap(jax.random.fold_in)(
+                st.keys, jnp.broadcast_to(st.draw_idx, st.keys.shape[:1]))
+            found = jax.vmap(
+                partial(ss.init_search, logp_grad_fn=model.logp_and_grad,
+                        settings=sset, kind=config.nuts.kind))(
+                keys, st.pt.q, st.transform)
+            found = _maybe_pool_steps(found, config)
+            return st._replace(
+                step=jax.vmap(ss.reset_from_found_step)(st.step, found))
+
+        state = jax.lax.cond(flags["reinit_step_size"][-1], with_reinit,
+                             lambda st: st, state)
+
+        def t(x):
+            return jnp.moveaxis(x, 0, 1).astype(dtype)
+
+        n = jnp.maximum(out["n_steps"], 1.0)
+        stats = {
+            "position": t(draws),
+            "depth": t(out["depth"]).astype(jnp.int32),
+            "maxdepth_reached": t(out["maxdepth_reached"]) > 0.5,
+            "diverging": t(out["diverging"]) > 0.5,
+            "n_steps": t(out["n_steps"]).astype(jnp.int32),
+            "step_size": t(out["step_size"]),
+            "step_size_bar": t(out["step_size_bar"]),
+            "mean_tree_accept": t(out["sum_accept"] / n),
+            "mean_tree_accept_sym": t(out["sum_accept_sym"] / n),
+            "max_energy_error": t(out["max_energy_error"]),
+            "logp": t(out["logp"]),
+            "energy": t(out["energy"]),
+            "energy_error": t(out["energy_error"]),
+            "index_in_trajectory": t(out["index_in_trajectory"]).astype(jnp.int32),
+            "fisher_distance": t(out["fisher_distance"]),
+            "transformation_index": t(out["transformation_index"]).astype(jnp.int32),
+            "tuning": jnp.broadcast_to(
+                flags["is_tuning"][:, None],
+                (k, state.pt.q.shape[0])).astype(bool),
         }
         return state, stats
 

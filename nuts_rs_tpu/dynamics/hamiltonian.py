@@ -22,6 +22,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..parallel.axis import dsum, fold_dim_shard, global_dim
 from ..transform.affine import AffineTransform
 from ..transform.ops import AFFINE_OPS
 from .point import Point
@@ -46,16 +47,16 @@ def _esh_momentum_update(zg, v, step):
         v_raw = g_hat (1-zeta)(1+zeta+alpha(1-zeta)) + 2 zeta v
         dKE   = (delta - ln2 + log1p(alpha + (1-alpha) zeta^2)) (n-1)
     """
-    n = zg.shape[-1]
-    grad_norm = jnp.sqrt(jnp.sum(zg * zg))
+    n = global_dim(zg.shape[-1])
+    grad_norm = jnp.sqrt(dsum(zg * zg))
     g_hat = zg / grad_norm
-    alpha = jnp.sum(v * g_hat)
+    alpha = dsum(v * g_hat)
     dims_m1 = jnp.asarray(n - 1, zg.dtype)
     delta = step * grad_norm / dims_m1
     zeta = jnp.exp(-delta)
     coeff_g = (1.0 - zeta) * (1.0 + zeta + alpha * (1.0 - zeta))
     v_raw = coeff_g * g_hat + 2.0 * zeta * v
-    v_new = v_raw / jnp.sqrt(jnp.sum(v_raw * v_raw))
+    v_new = v_raw / jnp.sqrt(dsum(v_raw * v_raw))
     dke = (delta - jnp.log(2.0) + jnp.log1p(alpha + (1.0 - alpha) * zeta * zeta)) * dims_m1
     return v_new, dke
 
@@ -87,7 +88,7 @@ def leapfrog(
     """
     dtype = pt.z.dtype
     eps = jnp.asarray(direction, dtype) * step_size * step_size_factor
-    n = pt.z.shape[-1]
+    n = global_dim(pt.z.shape[-1])
     sqrt_n = jnp.sqrt(jnp.asarray(n, dtype))
 
     ke = pt.ke
@@ -114,10 +115,10 @@ def leapfrog(
     # --- second velocity half-step ---
     if kind is KineticKind.EUCLIDEAN:
         v2 = v1 + (eps / 2.0) * zg1
-        ke = 0.5 * jnp.sum(v2 * v2)
+        ke = 0.5 * dsum(v2 * v2)
     elif kind is KineticKind.EXACT_NORMAL:
         v2 = v1 + (eps / 2.0) * (z1 + zg1)
-        ke = 0.5 * jnp.sum(v2 * v2)
+        ke = 0.5 * dsum(v2 * v2)
     else:
         v2, dke2 = _esh_momentum_update(zg1, v1, sqrt_n * eps / 2.0)
         ke = ke + dke2
@@ -157,8 +158,8 @@ def is_turning(z1, v1, i1, z2, v2, i2):
     z_hi = jnp.where(swap, z1, z2)
     v_hi = jnp.where(swap, v1, v2)
     dz = z_hi - z_lo
-    turn1 = jnp.sum(dz * v_lo)
-    turn2 = jnp.sum(dz * v_hi)
+    turn1 = dsum(dz * v_lo)
+    turn2 = dsum(dz * v_hi)
     return (turn1 < 0.0) | (turn2 < 0.0)
 
 
@@ -167,9 +168,9 @@ def sample_momentum(key, dim, dtype, kind: KineticKind):
 
     (nuts-rs ``transformed_hamiltonian.rs:696-704``)
     """
-    v = jax.random.normal(key, (dim,), dtype)
+    v = jax.random.normal(fold_dim_shard(key), (dim,), dtype)
     if kind is KineticKind.MICROCANONICAL:
-        v = v / jnp.sqrt(jnp.sum(v * v))
+        v = v / jnp.sqrt(dsum(v * v))
     return v
 
 
@@ -208,7 +209,7 @@ def initialize_trajectory(key, pt: Point, transform,
     if kind is KineticKind.MICROCANONICAL:
         ke = jnp.zeros((), dtype)
     else:
-        ke = 0.5 * jnp.sum(v * v)
+        ke = 0.5 * dsum(v * v)
     return pt._replace(
         v=v, z=z, zg=zg,
         logdet=jnp.asarray(logdet, dtype),
@@ -228,12 +229,12 @@ def partial_momentum_refresh(pt: Point, noise, step_size, factor,
     dtype = pt.v.dtype
     half_step = step_size * factor / 2.0
     if kind is KineticKind.MICROCANONICAL:
-        n = jnp.asarray(pt.v.shape[-1], dtype)
+        n = jnp.asarray(global_dim(pt.v.shape[-1]), dtype)
         nu = jnp.sqrt(jnp.expm1(2.0 * half_step / decoherence_length) / n)
         v = pt.v + nu * noise
-        v = v / jnp.sqrt(jnp.sum(v * v))
+        v = v / jnp.sqrt(dsum(v * v))
         return pt._replace(v=v)
     alpha = jnp.exp(-half_step / decoherence_length)
     beta = jnp.sqrt(1.0 - alpha * alpha)
     v = alpha * pt.v + beta * noise
-    return pt._replace(v=v, ke=0.5 * jnp.sum(v * v))
+    return pt._replace(v=v, ke=0.5 * dsum(v * v))

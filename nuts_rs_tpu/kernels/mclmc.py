@@ -31,6 +31,7 @@ from ..dynamics.hamiltonian import (
     sample_momentum,
 )
 from ..dynamics.point import Point, point_where
+from ..parallel.axis import fold_dim_shard
 from ..transform.affine import AffineTransform
 from ..transform.ops import AFFINE_OPS
 from .nuts import DivergenceInfo, _empty_div_info
@@ -118,7 +119,7 @@ def mclmc_draw(
         key=key,
         pt=pt0,
         tmp_velocity=pt0.v,
-        noise=jax.random.normal(k_noise0, (dim,), dtype),
+        noise=jax.random.normal(fold_dim_shard(k_noise0), (dim,), dtype),
         remaining=num_base_steps,
         factor=jnp.ones((), dtype),
         stack=jnp.zeros(MAX_HALVINGS, jnp.int32),
@@ -148,10 +149,10 @@ def mclmc_draw(
                        step_size_factor=c.factor, ops=ops)
 
         # ---- success branch values ----
-        noise1 = jax.random.normal(k_n1, (dim,), dtype)
+        noise1 = jax.random.normal(fold_dim_shard(k_n1), (dim,), dtype)
         next_pt = partial_momentum_refresh(res.point, noise1, step_size,
                                            c.factor, ell, kind)
-        noise2 = jax.random.normal(k_n2, (dim,), dtype)
+        noise2 = jax.random.normal(fold_dim_shard(k_n2), (dim,), dtype)
         remaining_ok = c.remaining - 1
         steps_ok = c.steps + 1
         time_ok = c.time + c.factor * step_size

@@ -56,6 +56,7 @@ from ..dynamics.hamiltonian import (
 from ..dynamics.point import Point, point_where
 from ..transform.affine import AffineTransform
 from ..transform.ops import AFFINE_OPS
+from ..parallel.axis import dfinish, dsum
 from ..utils.bits import trailing_zeros
 
 
@@ -307,7 +308,7 @@ def _tree_body(c: _Carry, transform, logp_grad_fn, opts: NutsOptions,
     # --- stack writes ---
     tz_leaf = trailing_zeros(c.leaf, cap=D)
     row_left = jnp.minimum(tz_leaf, D)
-    d1 = jnp.sum(new_pt.z * new_pt.v)
+    d1 = dsum(new_pt.z * new_pt.v)
     left_z = c.left_z.at[row_left].set(new_pt.z)
     left_v = c.left_v.at[row_left].set(new_pt.v)
     b_left = c.b_left.at[row_left].set(d1)
@@ -339,11 +340,13 @@ def _tree_body(c: _Carry, transform, logp_grad_fn, opts: NutsOptions,
     oh_a = jax.nn.one_hot(rows_a, D + 1, dtype=dtype)          # [D, D+1]
     oh_b = jax.nn.one_hot(rows_b, D + 1, dtype=dtype)
 
-    av_left = left_v @ new_pt.z     # [D+1]  rows' v . z_new
-    cz_left = left_z @ new_pt.v     # [D+1]  rows' z . v_new
-    av_mid = mid_v @ new_pt.z
-    cz_mid = mid_z @ new_pt.v
-    gram = left_z @ left_v.T        # [D+1, D+1]  G[i, j] = z_i . v_j
+    # Contractions over the parameter axis; under dim sharding each is a
+    # local matmul completed by one psum over the "dim" mesh axis.
+    av_left = dfinish(left_v @ new_pt.z)     # [D+1]  rows' v . z_new
+    cz_left = dfinish(left_z @ new_pt.v)     # [D+1]  rows' z . v_new
+    av_mid = dfinish(mid_v @ new_pt.z)
+    cz_mid = dfinish(mid_z @ new_pt.v)
+    gram = dfinish(left_z @ left_v.T)        # [D+1, D+1]  G[i, j] = z_i . v_j
 
     a_av = oh_a @ av_left
     a_b = oh_a @ b_left
@@ -374,14 +377,14 @@ def _tree_body(c: _Carry, transform, logp_grad_fn, opts: NutsOptions,
     far_v = jnp.where(fwd, c.p_minus.v, c.p_plus.v)
     near_z = jnp.where(fwd, c.p_plus.z, c.p_minus.z)
     near_v = jnp.where(fwd, c.p_plus.v, c.p_minus.v)
-    far_zv = jnp.sum(far_z * far_v)
-    t_outer = ((dir_f * (jnp.sum(new_pt.z * far_v) - far_zv) < 0)
-               | (dir_f * (d1 - jnp.sum(far_z * new_pt.v)) < 0))
-    near_zv = jnp.sum(near_z * near_v)
-    t_near = ((dir_f * (jnp.sum(new_pt.z * near_v) - near_zv) < 0)
-              | (dir_f * (d1 - jnp.sum(near_z * new_pt.v)) < 0))
-    t_b0 = ((dir_f * (jnp.sum(left_z[D] * far_v) - far_zv) < 0)
-            | (dir_f * (b_left[D] - jnp.sum(far_z * left_v[D])) < 0))
+    far_zv = dsum(far_z * far_v)
+    t_outer = ((dir_f * (dsum(new_pt.z * far_v) - far_zv) < 0)
+               | (dir_f * (d1 - dsum(far_z * new_pt.v)) < 0))
+    near_zv = dsum(near_z * near_v)
+    t_near = ((dir_f * (dsum(new_pt.z * near_v) - near_zv) < 0)
+              | (dir_f * (d1 - dsum(near_z * new_pt.v)) < 0))
+    t_b0 = ((dir_f * (dsum(left_z[D] * far_v) - far_zv) < 0)
+            | (dir_f * (b_left[D] - dsum(far_z * left_v[D])) < 0))
     turning_top = c.check_this & (
         t_outer | ((c.depth > 0) & (t_near | t_b0)))
 

@@ -505,3 +505,625 @@ def nuts_pallas_run(
     stats_out = {name: stats[:, i, :].T for i, name in enumerate(STAT_NAMES)}
     stats_out["loop_iterations"] = iters[0]
     return (q_f.T, g_f.T, logp_f[0], draws_out, stats_out)
+
+
+# ---------------------------------------------------------------------------
+# Fused warmup engine
+# ---------------------------------------------------------------------------
+#
+# The posterior kernel above is draw-asynchronous; warmup adaptation is
+# inherently per-draw-index (the windowed schedule of adapt/schedule.py), so
+# the warmup kernel runs chains LOCK-STEP per draw: an outer fori_loop over
+# draws with the per-draw schedule flags in SMEM (indexed by the scalar loop
+# counter), an inner while_loop over tree iterations until every chain in the
+# block finished its tree, and the full adaptation update — fg/bg Welford
+# estimators, the diagonal mass-matrix rule, Nesterov dual averaging, window
+# switches — executed in-register between draws.  One launch covers a whole
+# chunk of warmup draws; HBM is touched once per launch instead of ~40 times
+# per leapfrog (the measured cost of the XLA warmup path, BASELINE.md).
+#
+# The only warmup action NOT in-kernel is the step-size init-search re-run on
+# the first mass-matrix change (adapt_strategy.rs:207-212): its draw index is
+# known statically from the schedule, so the sampler splits the warmup phase
+# there and runs the existing XLA init_search between the two launches.
+#
+# Tree semantics are identical to the posterior kernel (same iterative
+# formulation); the duplication between the two kernel bodies is deliberate —
+# the loop structures differ (multi-draw async vs per-draw lock-step) and the
+# posterior kernel is benchmarked/validated as-is.  tests/test_pallas_warmup.py
+# holds the XLA-vs-Pallas warmup equivalence checks.
+
+WARMUP_STAT_NAMES = STAT_NAMES + ["step_size_bar", "transformation_index"]
+NSTATS_W = len(WARMUP_STAT_NAMES)
+
+# flags_ref columns (i32): see build_warmup_flags()
+FLAG_UPDATE_EST = 0
+FLAG_DO_UPDATE = 1
+FLAG_ADVANCE_DA = 2
+FLAG_USE_LATE = 3
+FLAG_USE_BEST = 4
+FLAG_DO_SWITCH = 5
+NFLAGS = 8
+
+# sca_ref rows (f32): packed per-chain scalar state
+SCA_STEP = 0        # working (jittered) step size
+SCA_DA_LS = 1       # dual-averaging log_step
+SCA_DA_LSA = 2      # dual-averaging log_step_adapted
+SCA_DA_HBAR = 3
+SCA_DA_MU = 4
+SCA_DA_CNT = 5
+SCA_CNT_FG = 6      # foreground estimator count
+SCA_CNT_BG = 7
+SCA_TID = 8         # transformation index (f32 counter)
+SCA_LOGDET = 9
+NSCA = 10
+
+# est_ref planes (f32, [8, d, B]): fg draw mean/var, fg grad mean/var, bg x4
+EST_FG_DM, EST_FG_DV, EST_FG_GM, EST_FG_GV = 0, 1, 2, 3
+EST_BG_DM, EST_BG_DV, EST_BG_GM, EST_BG_GV = 4, 5, 6, 7
+
+
+def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
+                       opts: NutsOptions, sset, use_grad_based: bool,
+                       use_hw_prng: bool = True, n_model_args: int = 0):
+    """Warmup kernel body (lock-step draws + in-kernel adaptation).
+
+    ``sset`` is the StepSizeSettings (dual-averaging constants + jitter);
+    adaptation math mirrors adapt/mass_matrix.py and adapt/step_size.py
+    exactly (which in turn mirror nuts-rs diagonal.rs / dual_avg.rs).
+    """
+    import math as _math
+
+    D = opts.maxdepth
+    MAX_ERR = opts.max_energy_error
+    CHECK = bool(opts.check_turning)
+    da = sset.dual_average
+    jitter = sset.jitter
+    f32 = jnp.float32
+    LOWER, UPPER = 1e-20, 1e20
+
+    salt_counter = [0]
+
+    def kernel(seed_ref, flags_ref, q0_ref, g0_ref, logp0_ref, stds_ref,
+               mean_ref, est_ref, sca_ref, *rest):
+        model_arg_refs = rest[:n_model_args]
+        (out_q_ref, out_stats_ref, fin_q_ref, fin_g_ref, fin_logp_ref,
+         stds_out_ref, mean_out_ref, est_out_ref, sca_out_ref,
+         iters_ref) = rest[n_model_args:]
+        model_args = tuple(r[:] for r in model_arg_refs)
+        B = q0_ref.shape[1]
+        if use_hw_prng:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        seed_u32 = (seed_ref[0, 0].astype(jnp.uint32)
+                    + jnp.uint32(0x51ED2701) * pl.program_id(0).astype(jnp.uint32))
+        it_box = [jnp.uint32(0)]
+
+        def _uniform(shape):
+            salt_counter[0] += 1
+            if use_hw_prng:
+                bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            else:
+                bits = _hash_bits(shape, seed_u32, it_box[0], salt_counter[0])
+            f = ((bits >> 8).astype(jnp.int32).astype(jnp.float32)
+                 * (1.0 / (1 << 24)))
+            return jnp.clip(f, 1e-12, 1.0 - 1e-7)
+
+        def _normals(shape):
+            u1 = _uniform(shape)
+            u2 = _uniform(shape)
+            return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+        rows_s = jax.lax.broadcasted_iota(jnp.int32, (D + 1, 1, B), 0)
+        zb = jnp.zeros((1, B), f32)
+        ib = jnp.zeros((1, B), jnp.int32)
+
+        def eval_z(z, stds, mean):
+            q = z * stds + mean
+            logp, g = logp_grad_batched(q, *model_args)
+            return logp.reshape(1, B), g * stds
+
+        # ---- outer carry: q-space chain state + adaptation state ----
+        sca0 = sca_ref[:]
+        outer = dict(
+            it=jnp.uint32(1),
+            q=q0_ref[:], g=g0_ref[:], logp=logp0_ref[:],
+            stds=stds_ref[:], mean=mean_ref[:],
+            est=est_ref[:],
+            sca=sca0,
+        )
+
+        def draw_body(i, o):
+            # Keep the hash-PRNG counter advancing across draws (interpret
+            # mode; the hardware PRNG is stateful and ignores this).
+            it_box[0] = o["it"]
+            flag = lambda col: (flags_ref[i, col] != 0)
+            f_upd_est = flag(FLAG_UPDATE_EST)
+            f_do_upd = flag(FLAG_DO_UPDATE)
+            f_adv_da = flag(FLAG_ADVANCE_DA)
+            f_use_late = flag(FLAG_USE_LATE)
+            f_use_best = flag(FLAG_USE_BEST)
+            f_switch = flag(FLAG_DO_SWITCH)
+
+            stds, mean = o["stds"], o["mean"]
+            sca = o["sca"]
+            logdet = sca[SCA_LOGDET:SCA_LOGDET + 1]
+            step = sca[SCA_STEP:SCA_STEP + 1]
+
+            # ---- fresh trajectory ----
+            z0 = (o["q"] - mean) / stds
+            zg0 = o["g"] * stds
+            logp0 = o["logp"]
+            v0 = _normals((dim, B))
+            ke0 = 0.5 * jnp.sum(v0 * v0, 0, keepdims=True)
+            e_init = ke0 - (logp0 + logdet)
+
+            tree = dict(
+                it=o["it"],
+                done=jnp.zeros((1, B), bool),
+                div=jnp.zeros((1, B), bool),
+                turn=jnp.zeros((1, B), bool),
+                e_z=z0, e_v=v0, e_zg=zg0, e_idx=ib,
+                m_z=z0, m_v=v0, m_zg=zg0, m_idx=ib,
+                p_z=z0, p_v=v0, p_zg=zg0, p_idx=ib,
+                dm_z=z0, dm_zg=zg0, dm_logp=logp0, dm_ke=ke0, dm_idx=ib,
+                ds_z=z0, ds_zg=zg0, ds_logp=logp0, ds_ke=ke0, ds_idx=ib,
+                logw_m=zb, logw_s=jnp.full((1, B), -jnp.inf, f32),
+                depth=ib, leaf=ib,
+                direction=jnp.where(_uniform((1, B)) < 0.5, f32(1.0),
+                                    f32(-1.0)),
+                n_steps=ib, s_acc=zb, s_sym=zb, mx_err=zb,
+                lz=jnp.zeros((D + 1, dim, B), f32),
+                lv=jnp.zeros((D + 1, dim, B), f32),
+                bl=jnp.zeros((D + 1, B), f32),
+                mz=jnp.zeros((D + 1, dim, B), f32),
+                mv=jnp.zeros((D + 1, dim, B), f32),
+                bm=jnp.zeros((D + 1, B), f32),
+            )
+
+            def tree_body(c):
+                it_box[0] = c["it"]
+                act = ~c["done"]                      # [1, B] chains still working
+                r_sel = _uniform((1, B))
+                r_acc = _uniform((1, B))
+                dirf = c["direction"]
+                diri = dirf.astype(jnp.int32)
+
+                eps = dirf * step
+                v1 = c["e_v"] + (eps / 2.0) * c["e_zg"]
+                z1 = c["e_z"] + eps * v1
+                logp1, zg1 = eval_z(z1, stds, mean)
+                v2 = v1 + (eps / 2.0) * zg1
+                ke1 = 0.5 * jnp.sum(v2 * v2, 0, keepdims=True)
+                energy1 = ke1 - (logp1 + logdet)
+                err = energy1 - e_init
+                diverged = act & ((err > MAX_ERR) | ~jnp.isfinite(err))
+                idx1 = c["e_idx"] + diri
+
+                diff = -err
+                acc = jnp.exp(jnp.minimum(diff, 0.0))
+                n_steps = c["n_steps"] + act.astype(jnp.int32)
+                ok = act & ~diverged
+                s_acc = c["s_acc"] + jnp.where(ok, acc, 0.0)
+                s_sym = c["s_sym"] + jnp.where(
+                    ok, 2.0 * acc / (1.0 + jnp.exp(diff)), 0.0)
+                mx_err = jnp.where(
+                    diverged, -jnp.inf,
+                    jnp.where(act & (jnp.abs(diff) > jnp.abs(c["mx_err"])),
+                              diff, c["mx_err"]))
+
+                logw_leaf = -err
+                first = c["leaf"] == 0
+                logw_s = jnp.where(
+                    act,
+                    jnp.where(first, logw_leaf,
+                              jnp.logaddexp(c["logw_s"], logw_leaf)),
+                    c["logw_s"])
+                take = act & (first | (jnp.log(r_sel) < logw_leaf - logw_s))
+                ds_z = jnp.where(take, z1, c["ds_z"])
+                ds_zg = jnp.where(take, zg1, c["ds_zg"])
+                ds_logp = jnp.where(take, logp1, c["ds_logp"])
+                ds_ke = jnp.where(take, ke1, c["ds_ke"])
+                ds_idx = jnp.where(take, idx1, c["ds_idx"])
+
+                d1 = jnp.sum(z1 * v2, 0, keepdims=True)
+                row_l = jnp.minimum(_tz(c["leaf"], D), D).reshape(1, 1, B)
+                tzn = _tz(c["leaf"] + 1, D)
+                row_m = jnp.minimum(tzn + 1, D).reshape(1, 1, B)
+                mask_l = (rows_s == row_l) & act[None]
+                mask_m = (rows_s == row_m) & act[None]
+                lz = jnp.where(mask_l, z1[None], c["lz"])
+                lv = jnp.where(mask_l, v2[None], c["lv"])
+                bl = jnp.where(mask_l[:, 0], d1, c["bl"])
+                mz = jnp.where(mask_m, z1[None], c["mz"])
+                mv = jnp.where(mask_m, v2[None], c["mv"])
+                bm = jnp.where(mask_m[:, 0], d1, c["bm"])
+
+                if CHECK:
+                    turning_int = jnp.zeros((1, B), bool)
+
+                    def row_gather(stack, row):
+                        m = rows_s == row
+                        return jnp.sum(jnp.where(m, stack, 0.0), axis=0)
+
+                    def row_gather1(vec, row):
+                        m = (rows_s == row)[:, 0]
+                        return jnp.sum(jnp.where(m, vec, 0.0), axis=0,
+                                       keepdims=True)
+
+                    def level_check(j):
+                        s_a = c["leaf"] + 1 - (1 << j)
+                        s_b = c["leaf"] + 1 - (1 << (j - 1))
+                        ra = jnp.minimum(_tz(s_a, D), D).reshape(1, 1, B)
+                        a_z = row_gather(lz, ra)
+                        a_v = row_gather(lv, ra)
+                        a_b = row_gather1(bl, ra)
+                        t1 = ((dirf * (jnp.sum(z1 * a_v, 0, keepdims=True)
+                                       - a_b) < 0)
+                              | (dirf * (d1 - jnp.sum(a_z * v2, 0,
+                                                      keepdims=True)) < 0))
+                        if j < 2:
+                            return t1
+                        rb = jnp.minimum(_tz(s_b, D), D).reshape(1, 1, B)
+                        b_z = row_gather(lz, rb)
+                        b_v = row_gather(lv, rb)
+                        b_b = row_gather1(bl, rb)
+                        t2 = ((dirf * (jnp.sum(z1 * mv[j], 0, keepdims=True)
+                                       - bm[j:j + 1]) < 0)
+                              | (dirf * (d1 - jnp.sum(mz[j] * v2, 0,
+                                                      keepdims=True)) < 0))
+                        t3 = ((dirf * (jnp.sum(b_z * a_v, 0, keepdims=True)
+                                       - a_b) < 0)
+                              | (dirf * (b_b - jnp.sum(a_z * b_v, 0,
+                                                       keepdims=True)) < 0))
+                        return t1 | t2 | t3
+
+                    for j in range(1, D + 1):
+                        turning_int = turning_int | ((j <= tzn) & level_check(j))
+                    turning_int = turning_int & act
+                else:
+                    turning_int = jnp.zeros((1, B), bool)
+
+                subtree_done = (c["leaf"] + 1) == (1 << c["depth"])
+                fwd = dirf > 0
+                far_z = jnp.where(fwd, c["m_z"], c["p_z"])
+                far_v = jnp.where(fwd, c["m_v"], c["p_v"])
+                near_z = jnp.where(fwd, c["p_z"], c["m_z"])
+                near_v = jnp.where(fwd, c["p_v"], c["m_v"])
+                if CHECK:
+                    far_zv = jnp.sum(far_z * far_v, 0, keepdims=True)
+                    t_out = ((dirf * (jnp.sum(z1 * far_v, 0, keepdims=True)
+                                      - far_zv) < 0)
+                             | (dirf * (d1 - jnp.sum(far_z * v2, 0,
+                                                     keepdims=True)) < 0))
+                    near_zv = jnp.sum(near_z * near_v, 0, keepdims=True)
+                    t_nr = ((dirf * (jnp.sum(z1 * near_v, 0, keepdims=True)
+                                     - near_zv) < 0)
+                            | (dirf * (d1 - jnp.sum(near_z * v2, 0,
+                                                    keepdims=True)) < 0))
+                    b0_z, b0_v = lz[D], lv[D]
+                    t_b0 = ((dirf * (jnp.sum(b0_z * far_v, 0, keepdims=True)
+                                     - far_zv) < 0)
+                            | (dirf * (bl[D:D + 1]
+                                       - jnp.sum(far_z * b0_v, 0,
+                                                 keepdims=True)) < 0))
+                    turning_top = t_out | ((c["depth"] > 0) & (t_nr | t_b0))
+                else:
+                    turning_top = jnp.zeros((1, B), bool)
+
+                do_merge = act & subtree_done & ~diverged & ~turning_int
+                take_s = (logw_s >= c["logw_m"]) | (
+                    jnp.log(r_acc) < logw_s - c["logw_m"])
+                mt = do_merge & take_s
+                dm_z = jnp.where(mt, ds_z, c["dm_z"])
+                dm_zg = jnp.where(mt, ds_zg, c["dm_zg"])
+                dm_logp = jnp.where(mt, ds_logp, c["dm_logp"])
+                dm_ke = jnp.where(mt, ds_ke, c["dm_ke"])
+                dm_idx = jnp.where(mt, ds_idx, c["dm_idx"])
+                logw_m = jnp.where(do_merge,
+                                   jnp.logaddexp(c["logw_m"], logw_s),
+                                   c["logw_m"])
+                mf = do_merge & fwd
+                mb = do_merge & ~fwd
+                p_z = jnp.where(mf, z1, c["p_z"])
+                p_v = jnp.where(mf, v2, c["p_v"])
+                p_zg = jnp.where(mf, zg1, c["p_zg"])
+                p_idx = jnp.where(mf, idx1, c["p_idx"])
+                m_z = jnp.where(mb, z1, c["m_z"])
+                m_v = jnp.where(mb, v2, c["m_v"])
+                m_zg = jnp.where(mb, zg1, c["m_zg"])
+                m_idx = jnp.where(mb, idx1, c["m_idx"])
+
+                depth = c["depth"] + do_merge.astype(jnp.int32)
+                turned = turning_int | (do_merge & turning_top)
+                tree_done = act & (diverged | turned | (depth >= D))
+
+                new_dir = jnp.where(_uniform((1, B)) < 0.5, f32(1.0),
+                                    f32(-1.0))
+                new_doub = do_merge & (depth < D) & ~turned
+                jump_p = new_dir > 0
+                j_z = jnp.where(jump_p, p_z, m_z)
+                j_v = jnp.where(jump_p, p_v, m_v)
+                j_zg = jnp.where(jump_p, p_zg, m_zg)
+                j_idx = jnp.where(jump_p, p_idx, m_idx)
+
+                def cont2(doub, cont, old):
+                    return jnp.where(act,
+                                     jnp.where(new_doub, doub, cont), old)
+
+                return dict(
+                    it=c["it"] + jnp.uint32(1),
+                    done=c["done"] | tree_done,
+                    div=c["div"] | diverged,
+                    turn=c["turn"] | turned,
+                    e_z=cont2(j_z, z1, c["e_z"]),
+                    e_v=cont2(j_v, v2, c["e_v"]),
+                    e_zg=cont2(j_zg, zg1, c["e_zg"]),
+                    e_idx=cont2(j_idx, idx1, c["e_idx"]),
+                    m_z=m_z, m_v=m_v, m_zg=m_zg, m_idx=m_idx,
+                    p_z=p_z, p_v=p_v, p_zg=p_zg, p_idx=p_idx,
+                    dm_z=dm_z, dm_zg=dm_zg, dm_logp=dm_logp, dm_ke=dm_ke,
+                    dm_idx=dm_idx,
+                    ds_z=ds_z, ds_zg=ds_zg, ds_logp=ds_logp, ds_ke=ds_ke,
+                    ds_idx=ds_idx,
+                    logw_m=logw_m, logw_s=logw_s,
+                    depth=depth,
+                    leaf=jnp.where(act,
+                                   jnp.where(new_doub, 0, c["leaf"] + 1),
+                                   c["leaf"]),
+                    direction=jnp.where(act & new_doub, new_dir,
+                                        c["direction"]),
+                    n_steps=n_steps, s_acc=s_acc, s_sym=s_sym, mx_err=mx_err,
+                    lz=lz, lv=lv, bl=bl, mz=mz, mv=mv, bm=bm,
+                )
+
+            t = jax.lax.while_loop(lambda c: jnp.any(~c["done"]),
+                                   tree_body, tree)
+            # Hash-PRNG counter for post-tree uniforms (jitter): must be the
+            # loop's carried OUTPUT, not the leaked body tracer.
+            it_box[0] = t["it"]
+
+            # ---- draw results (q-space) ----
+            dm_q = t["dm_z"] * stds + mean
+            dm_g = t["dm_zg"] / stds
+            diverging = t["div"]
+            is_good = jnp.where(diverging, jnp.abs(t["dm_idx"]) > 4,
+                                t["dm_idx"] != 0)
+
+            # ---- estimator updates (mass_matrix.py::add_sample, exact) ----
+            est = o["est"]
+            cnt_fg = sca[SCA_CNT_FG:SCA_CNT_FG + 1]
+            cnt_bg = sca[SCA_CNT_BG:SCA_CNT_BG + 1]
+            inc = f_upd_est & is_good                   # [1, B]
+
+            def add2(mean_p, var_p, cnt_old, value):
+                cnt = cnt_old + inc.astype(f32)
+                first1 = cnt == 1.0
+                diffv = value - mean_p
+                meann = jnp.where(first1, value,
+                                  mean_p + diffv / jnp.maximum(cnt, 1.0))
+                varn = var_p + jnp.where(first1, 0.0, diffv * diffv)
+                meann = jnp.where(inc, meann, mean_p)
+                varn = jnp.where(inc, varn, var_p)
+                return meann, varn
+
+            fg_dm, fg_dv = add2(est[EST_FG_DM], est[EST_FG_DV], cnt_fg, dm_q)
+            fg_gm, fg_gv = add2(est[EST_FG_GM], est[EST_FG_GV], cnt_fg, dm_g)
+            bg_dm, bg_dv = add2(est[EST_BG_DM], est[EST_BG_DV], cnt_bg, dm_q)
+            bg_gm, bg_gv = add2(est[EST_BG_GM], est[EST_BG_GV], cnt_bg, dm_g)
+            cnt_fg = cnt_fg + jnp.where(inc, 1.0, 0.0)
+            cnt_bg = cnt_bg + jnp.where(inc, 1.0, 0.0)
+
+            # ---- window switch (diagonal.rs:143-148) ----
+            def sw(fgv, bgv, zero):
+                return (jnp.where(f_switch, bgv, fgv),
+                        jnp.where(f_switch, zero, bgv))
+
+            zd = jnp.zeros((dim, B), f32)
+            fg_dm, bg_dm = sw(fg_dm, bg_dm, zd)
+            fg_dv, bg_dv = sw(fg_dv, bg_dv, zd)
+            fg_gm, bg_gm = sw(fg_gm, bg_gm, zd)
+            fg_gv, bg_gv = sw(fg_gv, bg_gv, zd)
+            cnt_fg, cnt_bg = sw(cnt_fg, cnt_bg, zb)
+
+            # ---- mass-matrix update (adapt_diag + set_diag) ----
+            enough = f_do_upd & (cnt_fg >= 3.0)
+            if use_grad_based:
+                val = jnp.sqrt(fg_dv / fg_gv)
+                invalid = ~jnp.isfinite(val) | (val == 0.0)
+                var = jnp.clip(val, LOWER, UPPER)
+                var = jnp.where(invalid, jnp.square(stds), var)
+                new_stds = jnp.sqrt(var)
+                new_mean = fg_dm + var * fg_gm
+            else:
+                scale = 1.0 / jnp.maximum(cnt_fg, 1.0)
+                val = fg_dv * scale
+                invalid = ~jnp.isfinite(val) | (val == 0.0)
+                var = jnp.clip(val, LOWER, UPPER)
+                var = jnp.where(invalid, jnp.square(stds), var)
+                new_stds = jnp.sqrt(var)
+                new_mean = fg_dm
+            stds_n = jnp.where(enough, new_stds, stds)
+            mean_n = jnp.where(enough, new_mean, mean)
+            logdet_n = -jnp.sum(jnp.log(stds_n), 0, keepdims=True)
+            tid_n = sca[SCA_TID:SCA_TID + 1] + jnp.where(enough, 1.0, 0.0)
+
+            # ---- dual averaging (step_size.py::advance, exact) ----
+            nst = jnp.maximum(t["n_steps"].astype(f32), 1.0)
+            acc_mean = t["s_acc"] / nst
+            acc_sym = t["s_sym"] / nst
+            accept_stat = jnp.where(f_use_late, acc_sym, acc_mean)
+            da_cnt = sca[SCA_DA_CNT:SCA_DA_CNT + 1]
+            w = 1.0 / (da_cnt + da.t0)
+            hbar_n = ((1.0 - w) * sca[SCA_DA_HBAR:SCA_DA_HBAR + 1]
+                      + w * (sset.target_accept - accept_stat))
+            ls_n = (sca[SCA_DA_MU:SCA_DA_MU + 1]
+                    - hbar_n * jnp.sqrt(da_cnt) / da.gamma)
+            ls_n = jnp.minimum(ls_n, _math.log(da.max_step_size))
+            mk = jnp.exp(-da.k * jnp.log(da_cnt))
+            lsa_n = mk * ls_n + (1.0 - mk) * sca[SCA_DA_LSA:SCA_DA_LSA + 1]
+
+            adv = f_adv_da
+            da_ls = jnp.where(adv, ls_n, sca[SCA_DA_LS:SCA_DA_LS + 1])
+            da_lsa = jnp.where(adv, lsa_n, sca[SCA_DA_LSA:SCA_DA_LSA + 1])
+            da_hbar = jnp.where(adv, hbar_n, sca[SCA_DA_HBAR:SCA_DA_HBAR + 1])
+            da_cnt = jnp.where(adv, da_cnt + 1.0, da_cnt)
+
+            # ---- next step size: current (or best guess) + jitter ----
+            base = jnp.exp(jnp.where(f_use_best, da_lsa, da_ls))
+            if jitter is not None:
+                base = base * (1.0 - jitter + 2.0 * jitter * _uniform((1, B)))
+            bar = jnp.exp(da_lsa)
+
+            # ---- emit stats row i (post-adaptation values, matching the
+            # XLA path in chain.py::make_draw_step) ----
+            energy_m = t["dm_ke"] - (t["dm_logp"] + logdet)
+            fisher = jnp.sum(jnp.square(t["dm_z"] + t["dm_zg"]), 0,
+                             keepdims=True)
+            krows = jax.lax.broadcasted_iota(jnp.int32, (K, 1, B), 0)
+            kmask = krows == i
+            out_q_ref[:] = jnp.where(kmask, dm_q[None], out_q_ref[:])
+            stats = jnp.concatenate([
+                t["depth"].astype(f32), diverging.astype(f32),
+                t["n_steps"].astype(f32), t["s_acc"], t["s_sym"], t["mx_err"],
+                t["dm_logp"], energy_m, energy_m - e_init,
+                t["dm_idx"].astype(f32), fisher, base,
+                (t["depth"] >= D).astype(f32), bar, tid_n,
+            ], axis=0)
+            out_stats_ref[:] = jnp.where(kmask[:, 0][:, None], stats[None],
+                                         out_stats_ref[:])
+
+            sca_n = jnp.concatenate([
+                base, da_ls, da_lsa, da_hbar, sca[SCA_DA_MU:SCA_DA_MU + 1],
+                da_cnt, cnt_fg, cnt_bg, tid_n, logdet_n,
+            ], axis=0)
+            est_n = jnp.stack([fg_dm, fg_dv, fg_gm, fg_gv,
+                               bg_dm, bg_dv, bg_gm, bg_gv], axis=0)
+
+            return dict(
+                it=t["it"],
+                q=dm_q, g=dm_g, logp=t["dm_logp"],
+                stds=stds_n, mean=mean_n,
+                est=est_n, sca=sca_n,
+            )
+
+        final = jax.lax.fori_loop(0, K, draw_body, outer)
+        fin_q_ref[:] = final["q"]
+        fin_g_ref[:] = final["g"]
+        fin_logp_ref[:] = final["logp"]
+        stds_out_ref[:] = final["stds"]
+        mean_out_ref[:] = final["mean"]
+        est_out_ref[:] = final["est"]
+        sca_out_ref[:] = final["sca"]
+        iters_ref[:] = jnp.broadcast_to(
+            final["it"].astype(jnp.int32).reshape(1, 1), iters_ref.shape)
+
+    return kernel
+
+
+def build_warmup_flags(sched, lo: int, hi: int) -> "jnp.ndarray":
+    """Pack the per-draw schedule rows [lo, hi) into the kernel's [K, NFLAGS]
+    i32 flag array (see FLAG_* constants)."""
+    import numpy as np
+
+    k = hi - lo
+    f = np.zeros((k, NFLAGS), np.int32)
+    f[:, FLAG_UPDATE_EST] = sched.update_estimators[lo:hi]
+    f[:, FLAG_DO_UPDATE] = sched.do_update[lo:hi]
+    f[:, FLAG_ADVANCE_DA] = sched.advance_da[lo:hi]
+    f[:, FLAG_USE_LATE] = sched.use_late_estimator[lo:hi]
+    f[:, FLAG_USE_BEST] = sched.use_best_guess[lo:hi]
+    f[:, FLAG_DO_SWITCH] = sched.do_switch[lo:hi]
+    return jnp.asarray(f)
+
+
+def nuts_pallas_warmup_run(
+    seed,
+    flags,                 # [K, NFLAGS] i32
+    q, g, logp,            # [C, d], [C, d], [C]
+    stds, mean,            # [C, d]
+    est,                   # [C, 8, d] packed estimator planes
+    sca,                   # [C, NSCA] packed scalar state
+    logp_grad_batched: Callable,
+    opts: NutsOptions,
+    sset,
+    use_grad_based: bool,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+    model_args: tuple = (),
+):
+    """Launch the fused warmup kernel for K = flags.shape[0] draws.
+
+    Returns (q_f, g_f, logp_f, stds_f, mean_f, est_f, sca_f, draws, stats)
+    with draws [C, K, d] and stats a dict of [C, K] arrays keyed by
+    WARMUP_STAT_NAMES."""
+    C, d = q.shape
+    K = flags.shape[0]
+    B = min(block, C)
+    assert C % B == 0, (C, B)
+    grid = (C // B,)
+
+    def cl(x):
+        return jnp.asarray(x, jnp.float32).T.reshape(-1, C)
+
+    q_t, g_t, stds_t, mean_t = cl(q), cl(g), cl(stds), cl(mean)
+    logp_t = cl(logp[:, None])
+    est_t = jnp.moveaxis(jnp.asarray(est, jnp.float32), 0, -1)   # [8, d, C]
+    sca_t = jnp.asarray(sca, jnp.float32).T                      # [NSCA, C]
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    model_args = tuple(jnp.asarray(a, jnp.float32) for a in model_args)
+    kernel = make_warmup_kernel(
+        logp_grad_batched, d, K, opts, sset, use_grad_based,
+        use_hw_prng=not interpret, n_model_args=len(model_args))
+
+    vspec = lambda r: pl.BlockSpec((r, B), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    e3 = pl.BlockSpec((8, d, B), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((K, d, C), jnp.float32),         # draws
+        jax.ShapeDtypeStruct((K, NSTATS_W, C), jnp.float32),  # stats
+        jax.ShapeDtypeStruct((d, C), jnp.float32),            # final q
+        jax.ShapeDtypeStruct((d, C), jnp.float32),            # final g
+        jax.ShapeDtypeStruct((1, C), jnp.float32),            # final logp
+        jax.ShapeDtypeStruct((d, C), jnp.float32),            # stds
+        jax.ShapeDtypeStruct((d, C), jnp.float32),            # mean
+        jax.ShapeDtypeStruct((8, d, C), jnp.float32),         # est
+        jax.ShapeDtypeStruct((NSCA, C), jnp.float32),         # sca
+        jax.ShapeDtypeStruct((1, C), jnp.int32),              # iterations
+    )
+    out_specs = (
+        pl.BlockSpec((K, d, B), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, NSTATS_W, B), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        vspec(d), vspec(d), vspec(1), vspec(d), vspec(d), e3,
+        pl.BlockSpec((NSCA, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        vspec(1),
+    )
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((K, NFLAGS), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        vspec(d), vspec(d), vspec(1), vspec(d), vspec(d), e3,
+        pl.BlockSpec((NSCA, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for a in model_args
+    ]
+    (draws, stats, q_f, g_f, logp_f, stds_f, mean_f, est_f, sca_f,
+     iters) = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(seed_arr, jnp.asarray(flags, jnp.int32), q_t, g_t, logp_t, stds_t,
+      mean_t, est_t, sca_t, *model_args)
+
+    draws_out = jnp.moveaxis(draws, 2, 0)                     # [C, K, d]
+    stats_out = {name: stats[:, i, :].T
+                 for i, name in enumerate(WARMUP_STAT_NAMES)}
+    stats_out["loop_iterations"] = iters[0]
+    return (q_f.T, g_f.T, logp_f[0], stds_f.T, mean_f.T,
+            jnp.moveaxis(est_f, -1, 0), sca_f.T, draws_out, stats_out)

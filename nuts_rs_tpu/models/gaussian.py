@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel.axis import dsum
 from .model import Model
 
 
@@ -20,9 +21,11 @@ def normal_logp(dim: int, mu: float = 3.0) -> Model:
     """iid Normal(mu, 1) in every coordinate; nuts-rs src/math/test_logps.rs:9."""
 
     def logp(q):
-        return -0.5 * jnp.sum(jnp.square(q - mu))
+        # dsum: global over the (possibly dim-sharded) parameter axis.
+        return -0.5 * dsum(jnp.square(q - mu))
 
-    return Model(logp_fn=logp, dim=dim, name=f"normal_{dim}d")
+    return Model(logp_fn=logp, dim=dim, name=f"normal_{dim}d",
+                 dim_shardable=True)
 
 
 def mv_normal(cov: np.ndarray) -> Model:
@@ -74,11 +77,12 @@ def correlated_normal(dim: int, rank1_scale: float = 0.5) -> Model:
     c = rank1_scale / (1.0 + rank1_scale * dim)
 
     def logp(q):
-        s = jnp.sum(q)
+        s = dsum(q)
         prec_q = q - c * s
-        return -0.5 * jnp.sum(q * prec_q)
+        return -0.5 * dsum(q * prec_q)
 
-    return Model(logp_fn=logp, dim=dim, name=f"corr_normal_{dim}d")
+    return Model(logp_fn=logp, dim=dim, name=f"corr_normal_{dim}d",
+                 dim_shardable=True)
 
 
 def funnel(dim: int = 10) -> Model:

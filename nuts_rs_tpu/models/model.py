@@ -60,6 +60,14 @@ class Model:
     # boolean transposes in some backward passes); closed-form GLM gradients
     # also keep everything on the MXU.
     pallas_logp_grad: Optional[tuple] = None
+    # True when ``logp_fn`` is written against ``parallel.axis.dsum``/
+    # ``dfinish`` so it computes the GLOBAL log density when traced inside a
+    # dim-sharded ``shard_map`` (each shard sees its local parameter block).
+    # ``dsum`` keeps the differentiable path shard-local (raw psum would
+    # scale gradients by the axis size — see axis._psum_local_grad), so
+    # ``jax.value_and_grad`` through it yields the correct local gradient
+    # block.  Models without this flag are rejected by dim-sharded execution.
+    dim_shardable: bool = False
 
     def logp_and_grad(self, q: jax.Array):
         """Return ``(logp, grad)`` at ``q``.

@@ -175,6 +175,30 @@ class NutsSettings:
             runner = None
         if runner is None:
             return [(0, total, sync)]
+        if (kind == "pallas"
+                and self.step_size.method is StepSizeMethod.DUAL_AVERAGE):
+            # Fused warmup (kernels/nuts_pallas.py warmup section): whole
+            # chunks of tuning draws per pallas_call with in-kernel
+            # adaptation.  The phase list splits at the schedule-known
+            # step-size re-init draw so the XLA init search runs at a launch
+            # boundary (adapt_strategy.rs:207-212).
+            from .adapt.schedule import build_schedule
+            from .chain import make_pallas_warmup_runner
+
+            wrunner = make_pallas_warmup_runner(
+                model, strategy, config, base_seed=self.seed,
+                use_grad_based=self.use_grad_based_estimate)
+            sched = build_schedule(self.num_tune, self.num_draws, self.adapt)
+            reinit = np.nonzero(sched.reinit_step_size)[0]
+            phases = []
+            start = 0
+            for r in reinit.tolist():
+                phases.append((start, r + 1, wrunner))
+                start = r + 1
+            if start < self.num_tune:
+                phases.append((start, self.num_tune, wrunner))
+            phases.append((self.num_tune, total, runner))
+            return phases
         # Warmup stays draw-synchronous (per-draw-index adaptation schedule).
         return [(0, self.num_tune, sync), (self.num_tune, total, runner)]
 
@@ -438,19 +462,42 @@ class Sampler:
         # chips/hosts over ICI; cross-chain adaptation then pools statistics
         # with psum over the same axis.  Replaces the reference's
         # one-thread-per-chain rayon pool (src/sampler.rs:1286-1326).
+        self._dim_sharded = False
         if mesh is not None:
-            from .parallel.mesh import CHAIN_AXIS
+            from .parallel.axis import DIM_AXIS
+            from .parallel.mesh import CHAIN_AXIS, mesh_axis_size
 
-            n_dev = mesh.devices.size
-            if settings.num_chains % n_dev:
+            n_chain_dev = mesh_axis_size(mesh, CHAIN_AXIS)
+            n_dim_dev = mesh_axis_size(mesh, DIM_AXIS)
+            self._dim_sharded = DIM_AXIS in mesh.axis_names
+            if settings.num_chains % n_chain_dev:
                 raise ValueError(
                     f"num_chains ({settings.num_chains}) must be a multiple "
-                    f"of the mesh size ({n_dev})")
+                    f"of the chains mesh axis ({n_chain_dev})")
             if getattr(settings, "posterior_kernel", "sync") != "sync":
                 raise ValueError(
                     "mesh execution currently requires posterior_kernel="
                     "'sync' (the async/pallas engines run per chip; shard "
                     "chains over hosts and run them per device instead)")
+            if self._dim_sharded:
+                # Parameter-axis sharding (SURVEY.md §5; BASELINE config 5):
+                # state vectors and the kernels' contractions split over the
+                # "dim" mesh axis; see parallel/axis.py for the mechanics.
+                if model.dim % n_dim_dev:
+                    raise ValueError(
+                        f"model.dim ({model.dim}) must be a multiple of the "
+                        f"dim mesh axis ({n_dim_dev})")
+                if not getattr(model, "dim_shardable", False):
+                    raise ValueError(
+                        "dim-sharded execution needs a model whose logp is "
+                        "written against parallel.axis.dsum/dfinish (set "
+                        "Model.dim_shardable=True); this model computes a "
+                        "shard-local density under sharding")
+                if getattr(settings, "mass_matrix", "diag") != "diag":
+                    raise ValueError(
+                        "dim-sharded execution currently supports the "
+                        "diagonal mass matrix only (low-rank/flow refits "
+                        "operate on full-dimension draw windows)")
             if (getattr(settings, "cross_chain_adaptation", False)
                     and getattr(settings, "mesh_axis_name", None) is None):
                 settings = dataclasses.replace(
@@ -514,7 +561,8 @@ class Sampler:
         if mesh is not None:
             from .parallel.mesh import shard_chain_state
 
-            self.state = shard_chain_state(self.state, mesh)
+            self.state = shard_chain_state(
+                self.state, mesh, model.dim if self._dim_sharded else None)
 
         # Fail fast on unusable starting points (reference: 500 init retries
         # then a hard error, src/sampler.rs:1133-1143).  Without this a bad
@@ -545,26 +593,75 @@ class Sampler:
             from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
-            from .parallel.mesh import CHAIN_AXIS, chain_specs
+            from .parallel.axis import DIM_AXIS, dim_axis_ctx
+            from .parallel.mesh import CHAIN_AXIS, chain_specs, stats_specs
 
-            state_specs = chain_specs(self.state)
+            spec_dim = model.dim if self._dim_sharded else None
+            state_specs = chain_specs(self.state, spec_dim)
 
-            def wrap_mesh(runner):
+            if self._dim_sharded:
+                # Axis-free twin runners for out-shape discovery: stats
+                # shapes don't depend on the collectives, and tracing the
+                # real runner outside shard_map would leave psum("chains")
+                # unbound.
+                probe_kw = {
+                    k: v for k, v in (("mesh_axis_name", None),
+                                      ("cross_chain_adaptation", False))
+                    if hasattr(settings, k)}
+                probe_settings = (dataclasses.replace(settings, **probe_kw)
+                                  if probe_kw else settings)
+                probe_config = probe_settings.chain_config()
+                probe_strategy = _strategy_for(probe_settings, probe_config)
+                self._probe_runners = [
+                    r for _, _, r in probe_settings.build_phases(
+                        model, probe_strategy, probe_config)]
+            else:
+                self._probe_runners = []
+
+            def wrap_mesh(runner, probe_runner=None):
                 # flags are per-draw scalars (replicated); stats come back
-                # [draws, chains, ...] so the chain axis is axis 1.
+                # [draws, chains, ...] so the chain axis is axis 1.  Under a
+                # 2-D mesh the runner body traces inside dim_axis_ctx, which
+                # turns every parameter-axis contraction into psum("dim")
+                # (parallel/axis.py), and parameter-indexed stats shard their
+                # trailing axis.
+                if self._dim_sharded:
+                    def body(state, flags):
+                        with dim_axis_ctx(DIM_AXIS):
+                            return runner(state, flags)
+
+                    # Out-structure discovery: specs depend only on ranks /
+                    # trailing dims, so a 1-draw eval_shape suffices.
+                    flags1 = self.settings.extra_flags(
+                        _schedule_chunk(self.schedule, 0, 1), 0, 1)
+                    out_shapes = jax.eval_shape(
+                        probe_runner or runner, self.state, flags1)
+                    out_stats_specs = stats_specs(out_shapes[1], model.dim)
+                else:
+                    body = runner
+                    out_stats_specs = P(None, CHAIN_AXIS)
                 return shard_map(
-                    runner, mesh=mesh, in_specs=(state_specs, P()),
-                    out_specs=(state_specs, P(None, CHAIN_AXIS)),
+                    body, mesh=mesh, in_specs=(state_specs, P()),
+                    out_specs=(state_specs, out_stats_specs),
                     check_rep=False)
         else:
-            def wrap_mesh(runner):
+            self._probe_runners = []
+
+            def wrap_mesh(runner, probe_runner=None):
                 return runner
 
-        self._phase_runners = [
-            (start, end, jit_prec(wrap_mesh(runner)))
-            for start, end, runner in settings.build_phases(
-                model, self.strategy, config)
-        ]
+        # One jitted wrapper per distinct runner: the fused warmup phases
+        # share a runner split at the step-size re-init boundary, and sharing
+        # the jit object shares its compile cache across phases.
+        jitted: dict[int, Any] = {}
+        self._phase_runners = []
+        for i, (start, end, runner) in enumerate(settings.build_phases(
+                model, self.strategy, config)):
+            if id(runner) not in jitted:
+                probe = (self._probe_runners[i]
+                         if i < len(self._probe_runners) else None)
+                jitted[id(runner)] = jit_prec(wrap_mesh(runner, probe))
+            self._phase_runners.append((start, end, jitted[id(runner)]))
 
         if model.expand_fn is not None:
             def expand_chunk(keys, qs):

@@ -31,6 +31,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..parallel.axis import dfinish, dsum
+
 
 class AffineTransform(NamedTuple):
     mean: jax.Array        # [d]
@@ -71,7 +73,9 @@ def _lowrank_apply(vecs, vals, rhs):
     # Full-f32 MXU passes: bf16 default passes here produce noisy energies
     # and spurious divergences (these matvecs run twice per leapfrog).
     with jax.default_matmul_precision("highest"):
-        proj = vecs.T @ rhs
+        # Under dim sharding U is row-sharded: the projection U^T rhs
+        # contracts over dim (psum); the back-projection is row-local.
+        proj = dfinish(vecs.T @ rhs)
         return rhs + vecs @ ((vals - 1.0) * proj)
 
 
@@ -103,7 +107,7 @@ def grad_to_transformed(t: AffineTransform, g: jax.Array) -> jax.Array:
 
 
 def diag_logdet(inv_stds: jax.Array) -> jax.Array:
-    return jnp.sum(jnp.log(inv_stds))
+    return dsum(jnp.log(inv_stds))
 
 
 def set_diag(t: AffineTransform, stds: jax.Array, mean: jax.Array,
