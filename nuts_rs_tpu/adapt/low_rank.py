@@ -131,26 +131,25 @@ def compute_update(
         return _compute_update_impl(w, transform, gamma, eigval_cutoff)
 
 
-def _compute_update_impl(w, transform, gamma, eigval_cutoff):
-    # Full-f32 matmuls throughout: bf16 default passes in the SVD/QR/Gram
-    # pipeline produce a noisy whitening transform, measured as a 9.4%
-    # post-warmup divergence rate on the 100-d low-rank config (0% with
-    # full-f32 estimation).
+def _window_moments(w: LowRankWindow):
+    """Masked first/second moments + rescaled, centered window and its Gram
+    matrices (steps 1-2a of ``compute_update``, low_rank.rs:144-203)."""
     cap, d = w.draws.shape
     dtype = w.draws.dtype
     idx = jnp.arange(cap, dtype=jnp.int32)
     mask = (idx >= w.start) & (idx < w.write_pos)
     mf = mask.astype(dtype)[:, None]          # [cap, 1]
-    n = jnp.maximum(jnp.sum(mf), 1.0)
+    n = jnp.sum(mf)
 
     draws = w.draws * mf
     grads = w.grads * mf
 
     # --- Step 1: per-dim rescale (low_rank.rs:144-203) ---
-    draw_mean = jnp.sum(draws, axis=0) / n
-    grad_mean = jnp.sum(grads, axis=0) / n
-    draw_var = jnp.sum(jnp.square(draws - draw_mean[None, :]) * mf, axis=0) / n
-    grad_var = jnp.sum(jnp.square(grads - grad_mean[None, :]) * mf, axis=0) / n
+    ns = jnp.maximum(n, 1.0)
+    draw_mean = jnp.sum(draws, axis=0) / ns
+    grad_mean = jnp.sum(grads, axis=0) / ns
+    draw_var = jnp.sum(jnp.square(draws - draw_mean[None, :]) * mf, axis=0) / ns
+    grad_var = jnp.sum(jnp.square(grads - grad_mean[None, :]) * mf, axis=0) / ns
     sigma = jnp.sqrt(jnp.sqrt(draw_var / grad_var))
     mu = draw_mean + sigma * sigma * grad_mean
 
@@ -158,27 +157,44 @@ def _compute_update_impl(w, transform, gamma, eigval_cutoff):
     g = w.grads * sigma[None, :] * mf                    # rescaled grads
 
     # Means of the rescaled values, then center (masked slots back to zero).
-    x_mean = jnp.sum(x, axis=0) / n
-    g_mean = jnp.sum(g, axis=0) / n
+    x_mean = jnp.sum(x, axis=0) / ns
+    g_mean = jnp.sum(g, axis=0) / ns
     x = (x - x_mean[None, :]) * mf
     g = (g - g_mean[None, :]) * mf
 
-    # --- Step 2: joint subspace via thin SVDs + QR (low_rank.rs:80-87) ---
-    # Samples are rows here; the span of the sample vectors is the column
-    # space of x.T, i.e. the left singular vectors of x.T.
-    u_draws, _, _ = jnp.linalg.svd(x.T, full_matrices=False)   # [d, k]
-    u_grads, _, _ = jnp.linalg.svd(g.T, full_matrices=False)
-    subspace = jnp.concatenate([u_draws, u_grads], axis=1)     # [d, 2k]
-    basis, _ = jnp.linalg.qr(subspace)                          # [d, r0]
+    # Gram matrices over the sample axis.  The per-sample SVD/QR pipeline of
+    # an earlier version cost O(d * cap) iterative SVD work per refit; the
+    # [d, d] Grams carry the same column space and sample covariance
+    # (x.T x = U S^2 U^T), so one MXU matmul + a d x d eigh replaces the
+    # [d, cap] SVD — the cap-sized axis now only ever appears inside matmuls.
+    gram_x = x.T @ x
+    gram_g = g.T @ g
+    return dict(n=n, sigma=sigma, mu=mu, x_mean=x_mean, g_mean=g_mean,
+                gram_x=gram_x, gram_g=gram_g)
+
+
+def _refit_from_moments(m, transform, gamma, eigval_cutoff):
+    """Steps 2b-5 of ``compute_update`` from (pooled or per-chain) moments."""
+    d = m["sigma"].shape[0]
+    dtype = m["sigma"].dtype
+    sigma, mu = m["sigma"], m["mu"]
+    x_mean, g_mean = m["x_mean"], m["g_mean"]
+    gram_x, gram_g = m["gram_x"], m["gram_g"]
+
+    # --- Step 2: joint subspace (low_rank.rs:80-87).  eigh of the Grams
+    # yields the left singular vectors of the sample matrices; QR of the
+    # concatenation orthonormalizes the joint span. ---
+    _, u_draws = jnp.linalg.eigh(gram_x)                        # [d, d]
+    _, u_grads = jnp.linalg.eigh(gram_g)
+    subspace = jnp.concatenate([u_draws, u_grads], axis=1)      # [d, 2d]
+    basis, _ = jnp.linalg.qr(subspace)                          # [d, d]
     r0 = basis.shape[1]
 
-    x_proj = basis.T @ x.T    # [r0, n_cap]
-    g_proj = basis.T @ g.T
-
-    # --- Step 3: regularized covariances + SPD mean (low_rank.rs:205-262) ---
+    # --- Step 3: regularized covariances + SPD mean (low_rank.rs:205-262);
+    # x_proj x_proj^T == basis^T gram_x basis, no [r0, cap] intermediate. ---
     eye = jnp.eye(r0, dtype=dtype)
-    cov_draws = x_proj @ x_proj.T / gamma + eye
-    cov_grads = g_proj @ g_proj.T / gamma + eye
+    cov_draws = basis.T @ gram_x @ basis / gamma + eye
+    cov_grads = basis.T @ gram_g @ basis / gamma + eye
     mean_mat = _spd_mean(cov_draws, cov_grads)
     vals, vecs = jnp.linalg.eigh(mean_mat)                      # [r0], [r0, r0]
 
@@ -210,10 +226,83 @@ def _compute_update_impl(w, transform, gamma, eigval_cutoff):
     # Degenerate windows (fewer samples than informative directions) can
     # produce non-positive eigenvalue estimates; skip those updates entirely.
     positive = jnp.all(vals_f > 0.0) & jnp.all(sigma > 0.0)
-    changed = finite & positive & (foreground_count(w) >= 3)
+    changed = finite & positive & (m["n"] >= 3)
 
     return set_low_rank(transform, sigma, mu, vals_f, vecs_full, mu_lr,
                         changed=changed)
+
+
+def _compute_update_impl(w, transform, gamma, eigval_cutoff):
+    # Full-f32 matmuls throughout: bf16 default passes in the eigh/QR/Gram
+    # pipeline produce a noisy whitening transform, measured as a 9.4%
+    # post-warmup divergence rate on the 100-d low-rank config (0% with
+    # full-f32 estimation).
+    return _refit_from_moments(_window_moments(w), transform, gamma,
+                               eigval_cutoff)
+
+
+def pooled_compute_update(windows, transforms, gamma, eigval_cutoff,
+                          axis_name=None):
+    """Cross-chain pooled low-rank refit (no reference counterpart — the
+    analog of the diag path's ``merge_running_variance`` pooling).
+
+    All chains' windows act as one big sample set: moments and Gram matrices
+    sum over the local chain axis (and the mesh ``chains`` axis via psum when
+    ``axis_name`` is set), then ONE d x d eigendecomposition pipeline runs
+    instead of one per chain, and every chain receives the shared transform.
+    At C chains this cuts the refit's eigh/QR work by C while estimating from
+    C x more samples.
+    """
+    with jax.default_matmul_precision("highest"):
+        c = windows.draws.shape[0]
+        moments = jax.vmap(_window_moments)(windows)
+
+        def total(v):
+            s = jnp.sum(v, axis=0)
+            if axis_name is not None:
+                s = jax.lax.psum(s, axis_name)
+            return s
+
+        n = total(moments["n"])
+        ns = jnp.maximum(n, 1.0)
+        # Count-weighted pooled moments; Grams are plain sums.  The pooled
+        # sigma/mu rescale must be recomputed from pooled variances, so undo
+        # the per-chain rescale by re-deriving from raw windows.
+        idx = jnp.arange(windows.draws.shape[1], dtype=jnp.int32)
+        mask = ((idx[None, :] >= windows.start[:, None])
+                & (idx[None, :] < windows.write_pos[:, None]))
+        mf = mask.astype(windows.draws.dtype)[..., None]   # [C, cap, 1]
+        draw_sum = total(jnp.sum(windows.draws * mf, axis=1))
+        grad_sum = total(jnp.sum(windows.grads * mf, axis=1))
+        draw_mean = draw_sum / ns
+        grad_mean = grad_sum / ns
+        draw_var = total(jnp.sum(
+            jnp.square(windows.draws - draw_mean[None, None, :]) * mf,
+            axis=1)) / ns
+        grad_var = total(jnp.sum(
+            jnp.square(windows.grads - grad_mean[None, None, :]) * mf,
+            axis=1)) / ns
+        sigma = jnp.sqrt(jnp.sqrt(draw_var / grad_var))
+        mu = draw_mean + sigma * sigma * grad_mean
+
+        x = (windows.draws - mu[None, None, :]) / sigma[None, None, :] * mf
+        g = windows.grads * sigma[None, None, :] * mf
+        x_mean = total(jnp.sum(x, axis=1)) / ns
+        g_mean = total(jnp.sum(g, axis=1)) / ns
+        x = (x - x_mean[None, None, :]) * mf
+        g = (g - g_mean[None, None, :]) * mf
+        def mesh_sum(v):  # the einsum already sums the local chain axis
+            return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
+        gram_x = mesh_sum(jnp.einsum("cki,ckj->ij", x, x))
+        gram_g = mesh_sum(jnp.einsum("cki,ckj->ij", g, g))
+
+        pooled = dict(n=n, sigma=sigma, mu=mu, x_mean=x_mean, g_mean=g_mean,
+                      gram_x=gram_x, gram_g=gram_g)
+        t0 = jax.tree.map(lambda v: v[0], transforms)
+        t_new = _refit_from_moments(pooled, t0, gamma, eigval_cutoff)
+        return jax.tree.map(
+            lambda v: jnp.broadcast_to(v, (c,) + v.shape), t_new)
 
 
 class LowRankStrategy:
@@ -230,6 +319,10 @@ class LowRankStrategy:
         self.config = config
         self.lr: LowRankSettings = getattr(settings, "low_rank", LowRankSettings())
         self._num_tune = getattr(settings, "num_tune", 400)
+        # Optional cross-chain pooled refits (the low-rank analog of the
+        # diag path's merge_running_variance; beyond the reference).
+        self.cross_chain = getattr(settings, "cross_chain_adaptation", False)
+        self.axis_name = getattr(settings, "mesh_axis_name", None)
 
     def _rank(self, dim):
         return min(self.lr.max_rank or dim, dim)
@@ -260,10 +353,16 @@ class LowRankStrategy:
         return state._replace(extra=jax.vmap(switch)(state.extra))
 
     def adapt_update(self, state):
-        transform = jax.vmap(
-            partial(compute_update, gamma=self.lr.gamma,
-                    eigval_cutoff=self.lr.eigval_cutoff)
-        )(state.extra, state.transform)
+        if self.cross_chain:
+            transform = pooled_compute_update(
+                state.extra, state.transform, gamma=self.lr.gamma,
+                eigval_cutoff=self.lr.eigval_cutoff,
+                axis_name=self.axis_name)
+        else:
+            transform = jax.vmap(
+                partial(compute_update, gamma=self.lr.gamma,
+                        eigval_cutoff=self.lr.eigval_cutoff)
+            )(state.extra, state.transform)
         return state._replace(transform=transform)
 
 

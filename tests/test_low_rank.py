@@ -138,3 +138,21 @@ def test_low_rank_exact_gaussian_whitening():
     assert fisher.shape == (1, 100)
     assert (fisher < 1e-10).all(), fisher.max()
     assert not trace.sample_stats["diverging"].any()
+
+
+def test_cross_chain_pooled_low_rank():
+    """Pooled refits (one shared eigh pipeline from all chains' windows)
+    sample correctly and produce one shared transform per update."""
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian
+
+    model = gaussian.correlated_normal_rank1(12, scale=1.5, eig=50.0)
+    s = nt.LowRankNutsSettings(num_tune=300, num_draws=300, num_chains=4,
+                               seed=2, cross_chain_adaptation=True)
+    trace = nt.sample(model, s, chunk_size=200)
+    pos = np.asarray(trace.posterior["position"])
+    assert abs(pos.mean()) < 0.2
+    assert np.asarray(trace.sample_stats["diverging"]).mean() < 0.02
+    # all chains share the transform id trajectory (same pooled refits)
+    tid = np.asarray(trace.sample_stats["transformation_index"])
+    assert (tid == tid[0]).all()
