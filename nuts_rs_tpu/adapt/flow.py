@@ -38,6 +38,13 @@ class FlowAdaptSettings:
     # NUTS kernel then fills fixed [2^maxdepth] orbit buffers per draw.
     use_orbit_for_training: bool = False
     window_capacity: Optional[int] = None
+    # Train ONE shared flow from every chain's window instead of one flow
+    # per chain (no reference counterpart — its flow preset defaults to a
+    # single chain, src/sampler.rs:390).  With C > 1 chains this multiplies
+    # training coverage by C (different chains explore different regions of
+    # a multiscale target) and removes the per-chain wedging mode where one
+    # chain's diverged refit freezes that chain for the rest of the run.
+    pool_chains: bool = True
 
 
 class FlowWindow(NamedTuple):
@@ -200,16 +207,37 @@ class FlowStrategy:
 
     def adapt_update(self, state):
         cap = state.extra.draws.shape[1]
+        c = state.extra.draws.shape[0]
         keys = jax.vmap(lambda k: jax.random.fold_in(k, 13))(state.keys)
 
-        def refit(key, params, w):
-            mask = jnp.arange(cap) < w.count
-            # Full-f32 training matmuls: the fitted flow defines the energy.
+        if self.flow_settings.pool_chains and c > 1:
+            # Pooled refit: every chain's window concatenates into one
+            # training set, one Adam run fits one shared flow, and every
+            # chain receives it.  (spec.update subsamples to its training
+            # budget, so cost does not scale with C.)
+            d = state.extra.draws.shape[-1]
+            valid = (jnp.arange(cap)[None, :] < state.extra.count[:, None])
+            draws = state.extra.draws.reshape(c * cap, d)
+            grads = state.extra.grads.reshape(c * cap, d)
+            logps = state.extra.logps.reshape(c * cap)
+            mask = valid.reshape(c * cap)
+            params0 = jax.tree.map(lambda v: v[0], state.transform.params)
             with jax.default_matmul_precision("highest"):
-                return self.spec.update(key, params, w.draws, w.grads,
-                                        w.logps, mask)
+                new0 = self.spec.update(keys[0], params0, draws, grads,
+                                        logps, mask)
+            params = jax.tree.map(
+                lambda v: jnp.broadcast_to(v, (c,) + v.shape), new0)
+        else:
+            def refit(key, params, w):
+                mask = jnp.arange(cap) < w.count
+                # Full-f32 training matmuls: the fitted flow defines the
+                # energy.
+                with jax.default_matmul_precision("highest"):
+                    return self.spec.update(key, params, w.draws, w.grads,
+                                            w.logps, mask)
 
-        params = jax.vmap(refit)(keys, state.transform.params, state.extra)
+            params = jax.vmap(refit)(keys, state.transform.params,
+                                     state.extra)
 
         # Safety: a refit that cannot represent the chain's CURRENT point
         # (non-finite z / zg / logdet) would wedge the chain — every further

@@ -83,6 +83,10 @@ class CouplingFlowConfig:
     learning_rate: float = 1e-3
     max_scale: float = 4.0   # tanh clamp on log-scales
     max_shift: float = 30.0  # tanh clamp on shifts
+    # Per-refit training-set budget: when the (possibly chain-pooled) window
+    # holds more valid points, a uniform random subset of this size trains
+    # the refit, so refit cost is independent of chain count / window size.
+    max_train_points: int = 4096
     # Both clamps make every layer (and its inverse and logdet) globally
     # bounded, so no point in parameter space can produce non-finite
     # energies — a chain can recover from a bad region instead of wedging.
@@ -95,7 +99,13 @@ def _mlp_apply(w, x):
 
 def _layer_forward(layer, cfg, z):
     """One affine coupling step; even/odd masks alternate per layer."""
-    mask = layer["mask"]  # [d] 1.0 where the coordinate passes through
+    # stop_gradient: the mask is STRUCTURE, not a parameter.  It lives in the
+    # params pytree (so it rides along through optimizer state and storage),
+    # but letting Adam train it off {0,1} silently breaks invertibility —
+    # forward and inverse stop being inverses and the Hamiltonian energy
+    # picks up a position-dependent offset (measured: |F(F^-1(q))-q| up to
+    # 10 after 200 refit steps, every leapfrog then rejects at ~exp(-1.3)).
+    mask = jax.lax.stop_gradient(layer["mask"])  # [d] 1.0 = passthrough
     z_pass = z * mask
     raw = _mlp_apply(layer["net"], z_pass)
     d = z.shape[-1]
@@ -106,7 +116,7 @@ def _layer_forward(layer, cfg, z):
 
 
 def _layer_inverse(layer, cfg, q):
-    mask = layer["mask"]
+    mask = jax.lax.stop_gradient(layer["mask"])  # see _layer_forward
     q_pass = q * mask
     raw = _mlp_apply(layer["net"], q_pass)
     d = q.shape[-1]
@@ -174,6 +184,16 @@ def coupling_flow(cfg: CouplingFlowConfig = CouplingFlowConfig()) -> FlowSpec:
         return jnp.sum(losses * m) / jnp.maximum(jnp.sum(m), 1.0)
 
     def update(key, params, draws, grads, logps, mask):
+        n = draws.shape[0]
+        if n > cfg.max_train_points:
+            # Uniform random subset of the valid points (scores for invalid
+            # slots are negative, so top_k prefers valid ones; leftover
+            # invalid slots keep mask=False).
+            key, ks = jax.random.split(key)
+            score = jnp.where(mask, jax.random.uniform(ks, (n,)), -1.0)
+            _, idx = jax.lax.top_k(score, cfg.max_train_points)
+            draws, grads, mask = draws[idx], grads[idx], mask[idx]
+
         opt = optax.adam(cfg.learning_rate)
         opt_state = opt.init(params)
         grad_fn = jax.value_and_grad(fisher_loss)
