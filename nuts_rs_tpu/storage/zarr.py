@@ -154,8 +154,10 @@ class ZarrStorage(TraceStorage):
         coords = dict(getattr(self.model, "coords", None) or {})
         for name, values in coords.items():
             arr = np.asarray(values)
-            if arr.dtype.kind in "OU":
-                continue  # string coords unsupported by the minimal writer
+            if arr.dtype.kind == "O":
+                # String coords (nuts-rs src/storage/zarr/common.rs:26-58)
+                # as fixed-length unicode arrays.
+                arr = arr.astype(str)
             for key in ("posterior", "warmup_posterior"):
                 ZarrGroup(os.path.join(self.path, key)).write_full_array(
                     name, arr, dims=[name])

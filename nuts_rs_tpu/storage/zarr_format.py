@@ -27,11 +27,23 @@ _DTYPE_MAP = {
 }
 
 
+def _dtype_str(dtype: np.dtype) -> str:
+    if dtype in _DTYPE_MAP:
+        return _DTYPE_MAP[dtype]
+    if dtype.kind == "U":  # fixed-length unicode (string coords,
+        # nuts-rs src/storage/zarr/common.rs:26-58 stores string coordinate
+        # arrays; zarr-python reads "<U{n}" natively)
+        return f"<U{dtype.itemsize // 4}"
+    raise TypeError(f"unsupported dtype {dtype}")
+
+
 def _fill_value(dtype: np.dtype):
     if dtype.kind == "f":
         return "NaN"
     if dtype.kind == "b":
         return False
+    if dtype.kind == "U":
+        return ""
     return 0
 
 
@@ -80,8 +92,6 @@ class ZarrArray:
         self.dtype = np.dtype(dtype)
         self.compress = compress
         os.makedirs(path, exist_ok=True)
-        if self.dtype not in _DTYPE_MAP:
-            raise TypeError(f"unsupported dtype {self.dtype}")
         self._write_meta()
         zattrs = dict(attrs or {})
         if dims is not None:
@@ -96,7 +106,7 @@ class ZarrArray:
             "zarr_format": 2,
             "shape": list(self.shape),
             "chunks": list(self.chunks),
-            "dtype": _DTYPE_MAP[self.dtype],
+            "dtype": _dtype_str(self.dtype),
             "compressor": {"id": "zlib", "level": 1} if self.compress else None,
             "fill_value": _fill_value(self.dtype),
             "order": "C",

@@ -114,3 +114,24 @@ def test_arrow_backend(settings, model):
     assert field.metadata[b"shape"] == b"[10]"
     chains = post.column("chain").to_numpy()
     assert set(chains.tolist()) == {0, 1}
+
+
+def test_zarr_string_coords(tmp_path):
+    """String coordinate arrays are stored as fixed-length unicode
+    (common.rs:26-58 parity)."""
+    from nuts_rs_tpu.models.model import Model
+    import jax.numpy as jnp
+
+    m = Model(
+        logp_fn=lambda q: -0.5 * jnp.sum(q * q), dim=3, name="named",
+        dims={"position": ["axis"]},
+        coords={"axis": ["alpha", "beta", "gamma"]},
+    )
+    s = nt.DiagNutsSettings(num_tune=10, num_draws=10, num_chains=1, seed=0)
+    path = str(tmp_path / "t.zarr")
+    nt.sample(m, s, storage=ZarrConfig(path), chunk_size=20)
+    axis = read_array(os.path.join(path, "posterior", "axis"))
+    assert axis.dtype.kind == "U"
+    np.testing.assert_array_equal(axis, np.array(["alpha", "beta", "gamma"]))
+    assert read_attrs(os.path.join(path, "posterior", "axis"))[
+        "_ARRAY_DIMENSIONS"] == ["axis"]
