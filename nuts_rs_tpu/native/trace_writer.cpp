@@ -7,6 +7,13 @@
 // Python host loop feeding the TPU never blocks on storage I/O.
 //
 // C ABI for ctypes; no Python.h dependency.
+//
+// Scope note vs the reference: async_impl.rs targets any tokio object_store
+// (local FS, S3, GCS, ...).  This writer targets the LOCAL filesystem only —
+// on TPU pods the deployment pattern is per-host local/NFS writes (each host
+// writes its own chains' chunks); object-store upload is an external sync
+// step (gsutil/rclone) rather than a sampler concern.  A cloud-store hook
+// would slot in at write_file() if ever needed.
 
 #include <condition_variable>
 #include <cstdint>
