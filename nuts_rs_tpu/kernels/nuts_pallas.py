@@ -614,8 +614,21 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
             return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
 
         rows_s = jax.lax.broadcasted_iota(jnp.int32, (D + 1, 1, B), 0)
-        zb = jnp.zeros((1, B), f32)
-        ib = jnp.zeros((1, B), jnp.int32)
+        # Non-replicated [1, B] zeros for loop-carry inits.  jnp.zeros is a
+        # splat constant that Mosaic lays out replicated ({*,*} / {*,0});
+        # inside the nested tree while_loop the body produces genuinely
+        # per-lane values, and the carry relayout concrete -> replicated is
+        # rejected ("Invalid relayout ... replicated in destination but not
+        # in source" / "Not implemented: Sublane broadcast").  A value
+        # varying along BOTH sublanes and lanes (sum of the two iotas) gets
+        # the concrete {0,0} layout; row 0 clamped to zero keeps it.  (A
+        # plain sublane iota stays lane-replicated {0,*}; a 1-row lane iota
+        # stays sublane-replicated {*,0} — neither unifies with the
+        # per-lane values the loop body produces.)
+        _mix = (jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
+                + jax.lax.broadcasted_iota(jnp.int32, (8, B), 1))
+        ib = jnp.minimum(_mix[0:1], 0)
+        zb = ib.astype(f32)
 
         def eval_z(z, stds, mean):
             q = z * stds + mean
@@ -623,6 +636,14 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
             return logp.reshape(1, B), g * stds
 
         # ---- outer carry: q-space chain state + adaptation state ----
+        # sca ships as [NSCA, 1, B] (rank-3): per-scalar reads index the
+        # UNTILED leading axis and come out as offset-free [1, B] vectors.
+        # As a packed [NSCA, B] block, every sca[i:i+1] row slice carried a
+        # sublane offset i, and those offset layouts propagated through the
+        # tree while_loop carry until Mosaic hit ops it cannot lower over
+        # offset layouts (offset-input multi_reductions, sublane broadcasts,
+        # replicated-destination relayouts).  The posterior kernel avoids
+        # the whole class by using separate [1, B] refs per scalar.
         sca0 = sca_ref[:]
         outer = dict(
             it=jnp.uint32(1),
@@ -646,8 +667,8 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
 
             stds, mean = o["stds"], o["mean"]
             sca = o["sca"]
-            logdet = sca[SCA_LOGDET:SCA_LOGDET + 1]
-            step = sca[SCA_STEP:SCA_STEP + 1]
+            logdet = sca[SCA_LOGDET]
+            step = sca[SCA_STEP]
 
             # ---- fresh trajectory ----
             z0 = (o["q"] - mean) / stds
@@ -657,17 +678,21 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
             ke0 = 0.5 * jnp.sum(v0 * v0, 0, keepdims=True)
             e_init = ke0 - (logp0 + logdet)
 
+            # done/div/turn carried as i32 0/1: Mosaic cannot round-trip
+            # vector bools through a while_loop carry (stores i8, the
+            # trunci i8 -> i1 reload fails to legalize); the posterior
+            # kernel's carry is likewise bool-free.
             tree = dict(
                 it=o["it"],
-                done=jnp.zeros((1, B), bool),
-                div=jnp.zeros((1, B), bool),
-                turn=jnp.zeros((1, B), bool),
+                done=ib,
+                div=ib,
+                turn=ib,
                 e_z=z0, e_v=v0, e_zg=zg0, e_idx=ib,
                 m_z=z0, m_v=v0, m_zg=zg0, m_idx=ib,
                 p_z=z0, p_v=v0, p_zg=zg0, p_idx=ib,
                 dm_z=z0, dm_zg=zg0, dm_logp=logp0, dm_ke=ke0, dm_idx=ib,
                 ds_z=z0, ds_zg=zg0, ds_logp=logp0, ds_ke=ke0, ds_idx=ib,
-                logw_m=zb, logw_s=jnp.full((1, B), -jnp.inf, f32),
+                logw_m=zb, logw_s=zb + f32(-jnp.inf),
                 depth=ib, leaf=ib,
                 direction=jnp.where(_uniform((1, B)) < 0.5, f32(1.0),
                                     f32(-1.0)),
@@ -682,7 +707,7 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
 
             def tree_body(c):
                 it_box[0] = c["it"]
-                act = ~c["done"]                      # [1, B] chains still working
+                act = c["done"] == 0                  # [1, B] chains still working
                 r_sel = _uniform((1, B))
                 r_acc = _uniform((1, B))
                 dirf = c["direction"]
@@ -746,9 +771,20 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                         return jnp.sum(jnp.where(m, stack, 0.0), axis=0)
 
                     def row_gather1(vec, row):
-                        m = (rows_s == row)[:, 0]
-                        return jnp.sum(jnp.where(m, vec, 0.0), axis=0,
-                                       keepdims=True)
+                        # [D+1, B] gathered by per-lane row index.  NOT a
+                        # masked axis-0 jnp.sum: in this kernel the while
+                        # carry gives `vec` a nonzero sublane-offset layout
+                        # and Mosaic rejects sublane reductions over offset
+                        # layouts ("input layout must have zero offsets over
+                        # dimensions that are being reduced").  An unrolled
+                        # select-accumulate over static [1, B] row slices is
+                        # layout-agnostic (elementwise ops only); D+1 ≤ 11
+                        # rows keep the unroll tiny.
+                        r2 = row[0]                      # [1, B]
+                        out = jnp.zeros((1, B), f32)
+                        for i in range(D + 1):
+                            out = out + jnp.where(r2 == i, vec[i:i + 1], 0.0)
+                        return out
 
                     def level_check(j):
                         s_a = c["leaf"] + 1 - (1 << j)
@@ -852,9 +888,9 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
 
                 return dict(
                     it=c["it"] + jnp.uint32(1),
-                    done=c["done"] | tree_done,
-                    div=c["div"] | diverged,
-                    turn=c["turn"] | turned,
+                    done=c["done"] | tree_done.astype(jnp.int32),
+                    div=c["div"] | diverged.astype(jnp.int32),
+                    turn=c["turn"] | turned.astype(jnp.int32),
                     e_z=cont2(j_z, z1, c["e_z"]),
                     e_v=cont2(j_v, v2, c["e_v"]),
                     e_zg=cont2(j_zg, zg1, c["e_zg"]),
@@ -876,7 +912,7 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                     lz=lz, lv=lv, bl=bl, mz=mz, mv=mv, bm=bm,
                 )
 
-            t = jax.lax.while_loop(lambda c: jnp.any(~c["done"]),
+            t = jax.lax.while_loop(lambda c: jnp.any(c["done"] == 0),
                                    tree_body, tree)
             # Hash-PRNG counter for post-tree uniforms (jitter): must be the
             # loop's carried OUTPUT, not the leaked body tracer.
@@ -885,14 +921,18 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
             # ---- draw results (q-space) ----
             dm_q = t["dm_z"] * stds + mean
             dm_g = t["dm_zg"] / stds
+            div_b = t["div"] != 0
             diverging = t["div"]
-            is_good = jnp.where(diverging, jnp.abs(t["dm_idx"]) > 4,
-                                t["dm_idx"] != 0)
+            # Pure i1 logic, not jnp.where on bool branches: a bool-valued
+            # select_n lowers to an i8 select + trunci i8 -> i1, which
+            # Mosaic rejects ("Unsupported target bitwidth for truncation").
+            is_good = ((div_b & (jnp.abs(t["dm_idx"]) > 4))
+                       | (~div_b & (t["dm_idx"] != 0)))
 
             # ---- estimator updates (mass_matrix.py::add_sample, exact) ----
             est = o["est"]
-            cnt_fg = sca[SCA_CNT_FG:SCA_CNT_FG + 1]
-            cnt_bg = sca[SCA_CNT_BG:SCA_CNT_BG + 1]
+            cnt_fg = sca[SCA_CNT_FG]
+            cnt_bg = sca[SCA_CNT_BG]
             inc = f_upd_est & is_good                   # [1, B]
 
             def add2(mean_p, var_p, cnt_old, value):
@@ -945,27 +985,27 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
             stds_n = jnp.where(enough, new_stds, stds)
             mean_n = jnp.where(enough, new_mean, mean)
             logdet_n = -jnp.sum(jnp.log(stds_n), 0, keepdims=True)
-            tid_n = sca[SCA_TID:SCA_TID + 1] + jnp.where(enough, 1.0, 0.0)
+            tid_n = sca[SCA_TID] + jnp.where(enough, 1.0, 0.0)
 
             # ---- dual averaging (step_size.py::advance, exact) ----
             nst = jnp.maximum(t["n_steps"].astype(f32), 1.0)
             acc_mean = t["s_acc"] / nst
             acc_sym = t["s_sym"] / nst
             accept_stat = jnp.where(f_use_late, acc_sym, acc_mean)
-            da_cnt = sca[SCA_DA_CNT:SCA_DA_CNT + 1]
+            da_cnt = sca[SCA_DA_CNT]
             w = 1.0 / (da_cnt + da.t0)
-            hbar_n = ((1.0 - w) * sca[SCA_DA_HBAR:SCA_DA_HBAR + 1]
+            hbar_n = ((1.0 - w) * sca[SCA_DA_HBAR]
                       + w * (sset.target_accept - accept_stat))
-            ls_n = (sca[SCA_DA_MU:SCA_DA_MU + 1]
+            ls_n = (sca[SCA_DA_MU]
                     - hbar_n * jnp.sqrt(da_cnt) / da.gamma)
             ls_n = jnp.minimum(ls_n, _math.log(da.max_step_size))
             mk = jnp.exp(-da.k * jnp.log(da_cnt))
-            lsa_n = mk * ls_n + (1.0 - mk) * sca[SCA_DA_LSA:SCA_DA_LSA + 1]
+            lsa_n = mk * ls_n + (1.0 - mk) * sca[SCA_DA_LSA]
 
             adv = f_adv_da
-            da_ls = jnp.where(adv, ls_n, sca[SCA_DA_LS:SCA_DA_LS + 1])
-            da_lsa = jnp.where(adv, lsa_n, sca[SCA_DA_LSA:SCA_DA_LSA + 1])
-            da_hbar = jnp.where(adv, hbar_n, sca[SCA_DA_HBAR:SCA_DA_HBAR + 1])
+            da_ls = jnp.where(adv, ls_n, sca[SCA_DA_LS])
+            da_lsa = jnp.where(adv, lsa_n, sca[SCA_DA_LSA])
+            da_hbar = jnp.where(adv, hbar_n, sca[SCA_DA_HBAR])
             da_cnt = jnp.where(adv, da_cnt + 1.0, da_cnt)
 
             # ---- next step size: current (or best guess) + jitter ----
@@ -992,10 +1032,10 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
             out_stats_ref[:] = jnp.where(kmask[:, 0][:, None], stats[None],
                                          out_stats_ref[:])
 
-            sca_n = jnp.concatenate([
-                base, da_ls, da_lsa, da_hbar, sca[SCA_DA_MU:SCA_DA_MU + 1],
+            sca_n = jnp.stack([
+                base, da_ls, da_lsa, da_hbar, sca[SCA_DA_MU],
                 da_cnt, cnt_fg, cnt_bg, tid_n, logdet_n,
-            ], axis=0)
+            ], axis=0)                                   # [NSCA, 1, B]
             est_n = jnp.stack([fg_dm, fg_dv, fg_gm, fg_gv,
                                bg_dm, bg_dv, bg_gm, bg_gv], axis=0)
 
@@ -1068,7 +1108,9 @@ def nuts_pallas_warmup_run(
     q_t, g_t, stds_t, mean_t = cl(q), cl(g), cl(stds), cl(mean)
     logp_t = cl(logp[:, None])
     est_t = jnp.moveaxis(jnp.asarray(est, jnp.float32), 0, -1)   # [8, d, C]
-    sca_t = jnp.asarray(sca, jnp.float32).T                      # [NSCA, C]
+    # [NSCA, 1, C]: rank-3 so in-kernel per-scalar reads index the untiled
+    # leading axis (offset-free [1, B] vectors; see make_warmup_kernel).
+    sca_t = jnp.asarray(sca, jnp.float32).T[:, None, :]
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
     model_args = tuple(jnp.asarray(a, jnp.float32) for a in model_args)
@@ -1088,7 +1130,7 @@ def nuts_pallas_warmup_run(
         jax.ShapeDtypeStruct((d, C), jnp.float32),            # stds
         jax.ShapeDtypeStruct((d, C), jnp.float32),            # mean
         jax.ShapeDtypeStruct((8, d, C), jnp.float32),         # est
-        jax.ShapeDtypeStruct((NSCA, C), jnp.float32),         # sca
+        jax.ShapeDtypeStruct((NSCA, 1, C), jnp.float32),      # sca
         jax.ShapeDtypeStruct((1, C), jnp.int32),              # iterations
     )
     out_specs = (
@@ -1096,7 +1138,8 @@ def nuts_pallas_warmup_run(
         pl.BlockSpec((K, NSTATS_W, B), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),
         vspec(d), vspec(d), vspec(1), vspec(d), vspec(d), e3,
-        pl.BlockSpec((NSCA, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((NSCA, 1, B), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
         vspec(1),
     )
     in_specs = [
@@ -1104,7 +1147,8 @@ def nuts_pallas_warmup_run(
         pl.BlockSpec((K, NFLAGS), lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
         vspec(d), vspec(d), vspec(1), vspec(d), vspec(d), e3,
-        pl.BlockSpec((NSCA, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((NSCA, 1, B), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
     ] + [
         pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
                      memory_space=pltpu.VMEM)
@@ -1126,4 +1170,5 @@ def nuts_pallas_warmup_run(
                  for i, name in enumerate(WARMUP_STAT_NAMES)}
     stats_out["loop_iterations"] = iters[0]
     return (q_f.T, g_f.T, logp_f[0], stds_f.T, mean_f.T,
-            jnp.moveaxis(est_f, -1, 0), sca_f.T, draws_out, stats_out)
+            jnp.moveaxis(est_f, -1, 0), sca_f[:, 0, :].T, draws_out,
+            stats_out)

@@ -59,12 +59,15 @@ def vec(elems, min_size=1, max_size=8):
 _TINY = float(np.finfo(np.float64).tiny)
 
 
-def assert_same(a, b, rtol=1e-12, atol=_TINY):
+def assert_same(a, b, rtol=1e-12, atol=8 * _TINY):
     """Near-equality with NaN == NaN and signed-inf awareness.
 
-    The default atol sits at the subnormal boundary: XLA CPU runs with
-    flush-to-zero, so subnormal results legitimately differ from numpy's by
-    up to ``tiny`` (the analog of the reference proptests' 32-ULP slack)."""
+    The default atol sits just above the subnormal boundary: XLA CPU runs
+    with flush-to-zero, so each subnormal intermediate legitimately differs
+    from numpy's by up to ``tiny``, and an accumulation over a handful of
+    draws (e.g. ``var_sum`` += subnormal ``diff**2`` terms whose numpy sum
+    rounds up to a small NORMAL number) by a few ``tiny`` (the analog of the
+    reference proptests' 32-ULP slack)."""
     a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
     np.testing.assert_allclose(a, b, rtol=rtol, atol=atol, equal_nan=True)
 
