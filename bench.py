@@ -102,7 +102,12 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
         sampler = nt.Sampler(model, settings, dtype=jnp.float32,
                              chunk_size=num_tune)
         t0 = time.monotonic()
-        sampler.run_next_chunk()  # tune chunk (compiles on first attempt)
+        # The warmup phase may span several chunks (the fused warmup engine
+        # splits at the schedule's step-size re-init draw) — run until the
+        # tuning draws are exhausted so t_tune/t_sample split at the real
+        # phase boundary.
+        while sampler._next_draw < settings.num_tune:
+            sampler.run_next_chunk()
         t_tune = time.monotonic() - t0 if t_tune is None else min(
             t_tune, time.monotonic() - t0)
 
@@ -116,12 +121,42 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
     n_steps = trace.sample_stats["n_steps"].astype(np.int64)
     grad_evals = int(n_steps.sum())
     grad_evals_per_sec = grad_evals / t_sample
+    # End-to-end rate includes warmup work and warmup wall-clock (the fused
+    # Pallas warmup engine makes tuning run at kernel speed too).
+    tune_evals = int(
+        trace.warmup_sample_stats["n_steps"].astype(np.int64).sum())
+    e2e_evals_per_sec = (grad_evals + tune_evals) / (t_sample + t_tune)
 
     # Bulk ESS (rank-normalized Geyer estimator) on the first coordinate.
     from nuts_rs_tpu.diagnostics import ess_bulk
 
     ess_total = float(ess_bulk(draws[..., 0]))
     ess_per_sec = ess_total / t_sample
+
+    # Device-level kernel rate: re-launch the final posterior chunk with the
+    # adapted state and only block_until_ready — no device->host streaming.
+    # On this rig the end-to-end numbers above are dominated by the TPU
+    # tunnel (per-chunk dispatch + tens of MB of draws/stats per chunk at
+    # tunnel bandwidth); a deployment with local PCIe DMA sees the kernel
+    # rate.  Measured here so both ends of the range are on record.
+    kernel_rate = float("nan")
+    try:
+        from nuts_rs_tpu.sampler import _schedule_chunk
+
+        lo = settings.num_tune
+        hi = min(lo + min(200, num_draws), num_tune + num_draws)
+        runner = jax.jit(next(
+            r for s_, e_, r in sampler._phase_runners if s_ <= lo < e_))
+        kflags = _schedule_chunk(sampler.schedule, lo, hi)
+        _, kstats = runner(sampler.state, kflags)   # compile + warm
+        jax.block_until_ready(kstats)
+        t0 = time.monotonic()
+        _, kstats = runner(sampler.state, kflags)
+        jax.block_until_ready(kstats)
+        dt = time.monotonic() - t0
+        kernel_rate = float(np.asarray(kstats["n_steps"]).sum()) / dt
+    except Exception:
+        pass
 
     anchor = native_anchor_rate(
         model.dim, 1000, 1000, maxdepth,
@@ -134,6 +169,8 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
         "dim": model.dim,
         "num_draws": num_draws,
         "grad_evals_per_sec": round(grad_evals_per_sec, 1),
+        "end_to_end_evals_per_sec": round(e2e_evals_per_sec, 1),
+        "device_kernel_evals_per_sec": round(kernel_rate, 1),
         "draws_per_sec": round(num_draws * num_chains / t_sample, 1),
         "ess_per_sec": round(ess_per_sec, 1),
         "tune_seconds": round(t_tune, 2),

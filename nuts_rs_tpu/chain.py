@@ -649,6 +649,20 @@ def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
     interpret = jax.default_backend() != "tpu"
     dim = model.dim
 
+    # VMEM budget, mirroring make_pallas_posterior_runner: the warmup launch
+    # additionally keeps the 8 estimator planes (8*d words/lane) and the
+    # outer-carry copies of q/g/stds/mean on-chip, and emits 15 stat rows per
+    # draw.  The K-dependent output blocks ([K, d, B] draws + [K, 15, B]
+    # stats) are double-buffered across the chain grid, hence the factor 2.
+    # Draw count per pallas_call is capped accordingly and the chunk runs as
+    # a sequence of sub-launches threading the adaptation state.
+    D = config.nuts.maxdepth
+    block = 256 if dim <= 32 else 128
+    budget_words = (13_000_000 - 4 * sum(
+        int(np.prod(a.shape)) for a in pallas_args)) // (4 * block)
+    fixed = 6 * (D + 1) * dim + 40 * dim + 8 * dim
+    MAX_K = int(max(8, min(64, (budget_words - fixed) // (2 * (dim + 15)))))
+
     def runner(state: ChainState, flags):
         k = flags["is_tuning"].shape[0]
         dtype = state.pt.q.dtype
@@ -682,14 +696,30 @@ def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
         ]:
             sca = sca.at[:, row].set(val)
 
-        seed = (jnp.int32(base_seed & 0x7FFFFFFF)
-                ^ (state.draw_idx * jnp.int32(2654435761 & 0x7FFFFFFF)))
-        (q_f, g_f, logp_f, stds_f, mean_f, est_f, sca_f, draws,
-         out) = nuts_pallas_warmup_run(
-            seed, flag_cols, state.pt.q, state.pt.g, state.pt.logp,
-            state.transform.stds, state.transform.mean, est, sca,
-            logp_grad_batched, config.nuts, sset, use_grad_based,
-            interpret=interpret, model_args=pallas_args)
+        q_f, g_f, logp_f = state.pt.q, state.pt.g, state.pt.logp
+        stds_f, mean_f = state.transform.stds, state.transform.mean
+        est_f, sca_f = est, sca
+        draws_parts, out_parts = [], []
+        done = 0
+        while done < k:
+            kk = min(MAX_K, k - done)
+            seed = (jnp.int32(base_seed & 0x7FFFFFFF)
+                    ^ ((state.draw_idx + done)
+                       * jnp.int32(2654435761 & 0x7FFFFFFF)))
+            (q_f, g_f, logp_f, stds_f, mean_f, est_f, sca_f, dpart,
+             opart) = nuts_pallas_warmup_run(
+                seed, flag_cols[done:done + kk], q_f, g_f, logp_f,
+                stds_f, mean_f, est_f, sca_f,
+                logp_grad_batched, config.nuts, sset, use_grad_based,
+                interpret=interpret, model_args=pallas_args, block=block)
+            draws_parts.append(dpart)
+            out_parts.append(opart)
+            done += kk
+        draws = (draws_parts[0] if len(draws_parts) == 1
+                 else jnp.concatenate(draws_parts, axis=1))
+        out = {key: (out_parts[0][key] if len(out_parts) == 1
+                     else jnp.concatenate([o[key] for o in out_parts], axis=1))
+               for key in out_parts[0] if key != "loop_iterations"}
 
         q_f = q_f.astype(dtype)
         g_f = g_f.astype(dtype)

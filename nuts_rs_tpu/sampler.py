@@ -698,6 +698,13 @@ class Sampler:
         callers like :func:`sample_sequentially` can consume draws lazily as
         they land.
         """
+        return self._finish_chunk(*self._launch_chunk())
+
+    def _launch_chunk(self):
+        """Dispatch one chunk's device computation (async) and advance the
+        draw cursor; host-side processing happens in :meth:`_finish_chunk`.
+        Splitting the two lets :meth:`run` overlap chunk N's device->host
+        streaming with chunk N+1's device compute."""
         lo = self._next_draw
         start, end, runner = next(
             (s, e, r) for s, e, r in self._phase_runners if s <= lo < e)
@@ -711,7 +718,10 @@ class Sampler:
                 jax.block_until_ready(stats)
         else:
             self.state, stats = runner(self.state, flags)
+        self._next_draw = hi
+        return lo, hi, stats, t0
 
+    def _finish_chunk(self, lo, hi, stats, t0):
         # Device -> host; [k, C, ...] -> [C, k, ...]
         stats = jax.tree.map(lambda x: np.moveaxis(np.asarray(x), 0, 1), stats)
         elapsed = time.monotonic() - t0
@@ -728,7 +738,6 @@ class Sampler:
         tuning = self.schedule.is_tuning[lo:hi]
         self.trace.record_chunk(lo, stats, expanded, tuning)
         self._update_progress(lo, stats, tuning, elapsed)
-        self._next_draw = hi
         if self.progress_callback is not None:
             now = time.monotonic()
             if (now - self._last_callback >= self.progress_rate_seconds
@@ -769,10 +778,20 @@ class Sampler:
         self._paused = False
 
     def run(self) -> Trace:
+        # Pipelined: dispatch chunk N+1 (async device compute) BEFORE doing
+        # chunk N's host-side work, so device->host streaming and storage
+        # writes overlap the next chunk's compute instead of serializing
+        # with it.
+        pending = None
         while not self.finished:
             if self._paused:
                 break
-            self.run_next_chunk()
+            nxt = self._launch_chunk()
+            if pending is not None:
+                self._finish_chunk(*pending)
+            pending = nxt
+        if pending is not None:
+            self._finish_chunk(*pending)
         if not self.finished:
             raise RuntimeError(
                 "sampler paused before completion; call resume() and run() "

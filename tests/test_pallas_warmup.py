@@ -64,6 +64,20 @@ def test_pallas_warmup_schedule_stats():
     assert np.isfinite(bar).all() and (bar > 0).all()
 
 
+def test_pallas_warmup_glm_model_args():
+    """Data-carrying model through the warmup kernel's model-args VMEM
+    channel (Model.pallas_logp_grad): adaptation must run in-kernel and the
+    posterior must match the XLA path's."""
+    model = gaussian.logistic_regression(n_data=64, dim=4, seed=0)
+    t_p = _run("pallas", model=model, seed=5, num_tune=150, num_draws=250)
+    t_x = _run("sync", model=model, seed=5, num_tune=150, num_draws=250)
+    mp = np.asarray(t_p.posterior["position"]).reshape(-1, 4).mean(axis=0)
+    mx = np.asarray(t_x.posterior["position"]).reshape(-1, 4).mean(axis=0)
+    np.testing.assert_allclose(mp, mx, atol=0.15)
+    acc = np.asarray(t_p.sample_stats["mean_tree_accept"]).mean()
+    assert 0.6 < acc < 0.99, acc
+
+
 def test_pallas_warmup_correlated_target():
     """Scale mismatch forces real mass-matrix work: correlated normal's
     marginal var (1.5) must be learned for good acceptance."""
