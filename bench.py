@@ -85,8 +85,10 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
     on_tpu = jax.default_backend() == "tpu"
     if kernel is None:
         # The fused Pallas engine is the fast path on real TPUs; its VMEM
-        # budget caps the d=1000 state (4 checkpoint stacks of
-        # [maxdepth+1, d, block]), which runs on the XLA sync kernel.
+        # budget caps the d=1000 state (6 checkpoint stacks of
+        # [maxdepth+1, d, block] at the minimum legal lane block of 128), so
+        # the runner would fall back to the XLA sync kernel anyway — named
+        # explicitly here so the reported `kernel` field stays honest.
         kernel = "pallas" if on_tpu and name != "normal_d1000" else "sync"
     settings = nt.DiagNutsSettings(
         num_tune=num_tune, num_draws=num_draws, num_chains=num_chains,

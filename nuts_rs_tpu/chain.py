@@ -531,14 +531,30 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
 
     # VMEM budget: the whole sampler state + outputs live on-chip during a
     # launch.  Rough per-lane footprint (f32 words): stacks 6*(D+1)*d,
-    # ~30 vectors of d, outputs K*(d+13).
+    # ~30 vectors of d, outputs K*(d+13) (double-buffered across the grid).
+    # The block (chains per launch) is the largest tier whose footprint at
+    # the minimum draw count (8) fits the budget — large d trades lane
+    # occupancy for VMEM residency, which still beats the XLA path's
+    # per-iteration HBM round-trips by orders of magnitude.
     dim = model.dim
     D = config.nuts.maxdepth
-    block = 256 if dim <= 32 else 128
-    budget_words = (13_000_000 - 4 * sum(
-        int(np.prod(a.shape)) for a in pallas_args)) // (4 * block)
+    args_bytes = 4 * sum(int(np.prod(a.shape)) for a in pallas_args)
     fixed = 6 * (D + 1) * dim + 30 * dim
-    MAX_K = int(max(8, min(64, (budget_words - fixed) // (dim + 13))))
+    # Pallas TPU requires the lane (chains) block dimension to be a multiple
+    # of 128, so 128 is the smallest legal block: models whose VMEM-resident
+    # state cannot fit at block 128 (d ≳ 200 at maxdepth 10 — the checkpoint
+    # stacks are 6*(D+1)*d words/chain) fall back to the XLA kernels by
+    # returning None here.
+    tiers = (256, 128) if dim <= 32 else (128,)
+    block = None
+    for tier in tiers:
+        if 4 * tier * (fixed + 2 * 8 * (dim + 13)) + args_bytes <= 12_000_000:
+            block = tier
+            break
+    if block is None:
+        return None
+    budget_words = (13_000_000 - args_bytes) // (4 * block)
+    MAX_K = int(max(8, min(64, (budget_words - fixed) // (2 * (dim + 13)))))
 
     def runner(state: ChainState, flags):
         k = flags["is_tuning"].shape[0]
@@ -657,10 +673,19 @@ def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
     # Draw count per pallas_call is capped accordingly and the chunk runs as
     # a sequence of sub-launches threading the adaptation state.
     D = config.nuts.maxdepth
-    block = 256 if dim <= 32 else 128
-    budget_words = (13_000_000 - 4 * sum(
-        int(np.prod(a.shape)) for a in pallas_args)) // (4 * block)
+    args_bytes = 4 * sum(int(np.prod(a.shape)) for a in pallas_args)
     fixed = 6 * (D + 1) * dim + 40 * dim + 8 * dim
+    # Lane blocks must be multiples of 128 (see the posterior runner); None
+    # keeps warmup on the XLA path when the state cannot fit at block 128.
+    tiers = (256, 128) if dim <= 32 else (128,)
+    block = None
+    for tier in tiers:
+        if 4 * tier * (fixed + 2 * 8 * (dim + 15)) + args_bytes <= 12_000_000:
+            block = tier
+            break
+    if block is None:
+        return None
+    budget_words = (13_000_000 - args_bytes) // (4 * block)
     MAX_K = int(max(8, min(64, (budget_words - fixed) // (2 * (dim + 15)))))
 
     def runner(state: ChainState, flags):

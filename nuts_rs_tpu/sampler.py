@@ -188,6 +188,8 @@ class NutsSettings:
             wrunner = make_pallas_warmup_runner(
                 model, strategy, config, base_seed=self.seed,
                 use_grad_based=self.use_grad_based_estimate)
+            if wrunner is None:   # VMEM budget: warmup stays on the XLA path
+                return [(0, self.num_tune, sync), (self.num_tune, total, runner)]
             sched = build_schedule(self.num_tune, self.num_draws, self.adapt)
             reinit = np.nonzero(sched.reinit_step_size)[0]
             phases = []
