@@ -87,6 +87,13 @@ class CouplingFlowConfig:
     # holds more valid points, a uniform random subset of this size trains
     # the refit, so refit cost is independent of chain count / window size.
     max_train_points: int = 4096
+    # Plateau early stop: training halts once the best loss has not improved
+    # by a relative `early_stop_tol` within `early_stop_patience` steps
+    # (params warm-start from the previous refit, so later refits typically
+    # converge in a fraction of `train_steps`; measured to dominate flow-run
+    # wall-clock otherwise).  Set patience <= 0 to always run `train_steps`.
+    early_stop_patience: int = 40
+    early_stop_tol: float = 1e-3
     # Both clamps make every layer (and its inverse and logdet) globally
     # bounded, so no point in parameter space can produce non-finite
     # energies — a chain can recover from a bad region instead of wedging.
@@ -198,15 +205,40 @@ def coupling_flow(cfg: CouplingFlowConfig = CouplingFlowConfig()) -> FlowSpec:
         opt_state = opt.init(params)
         grad_fn = jax.value_and_grad(fisher_loss)
 
-        def step(carry, _):
-            params, opt_state = carry
-            loss, g = grad_fn(params, draws, grads, mask)
-            updates, opt_state = opt.update(g, opt_state)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+        if cfg.early_stop_patience > 0:
+            # Plateau early stop (see CouplingFlowConfig): a while_loop whose
+            # condition tracks the best loss seen; params warm-start from the
+            # previous refit so later refits converge far inside train_steps.
+            def cond(c):
+                return (c["i"] < cfg.train_steps) & (
+                    c["i"] - c["best_i"] < cfg.early_stop_patience)
 
-        (new_params, _), losses = jax.lax.scan(
-            step, (params, opt_state), None, length=cfg.train_steps)
+            def body(c):
+                loss, g = grad_fn(c["params"], draws, grads, mask)
+                updates, opt_state = opt.update(g, c["opt"])
+                params = optax.apply_updates(c["params"], updates)
+                better = loss < c["best"] * (1.0 - cfg.early_stop_tol)
+                return dict(
+                    params=params, opt=opt_state, i=c["i"] + 1,
+                    best=jnp.minimum(loss, c["best"]),
+                    best_i=jnp.where(better, c["i"], c["best_i"]),
+                )
+
+            fin = jax.lax.while_loop(cond, body, dict(
+                params=params, opt=opt_state, i=jnp.int32(0),
+                best=jnp.asarray(jnp.inf, draws.dtype),
+                best_i=jnp.int32(0)))
+            new_params = fin["params"]
+        else:
+            def step(carry, _):
+                params, opt_state = carry
+                loss, g = grad_fn(params, draws, grads, mask)
+                updates, opt_state = opt.update(g, opt_state)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (new_params, _), _losses = jax.lax.scan(
+                step, (params, opt_state), None, length=cfg.train_steps)
 
         # Monotone acceptance: keep the refit only if it is finite, there was
         # data, and it actually lowered the Fisher loss on the window — a
