@@ -101,8 +101,13 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
     t_samples = []
     trace = None
     for _ in range(max(1, attempts)):
+        # One chunk per phase: a chunk is ONE host dispatch (the runner's
+        # VMEM-budgeted sub-launches live inside a single jit), so large
+        # chunks amortize tunnel round-trips and let the pipelined transfers
+        # overlap; the phase boundaries still split warmup at the schedule's
+        # step-size re-init draw.
         sampler = nt.Sampler(model, settings, dtype=jnp.float32,
-                             chunk_size=num_tune)
+                             chunk_size=max(num_tune, num_draws))
         t0 = time.monotonic()
         # The warmup phase may span several chunks (the fused warmup engine
         # splits at the schedule's step-size re-init draw) — run until the
