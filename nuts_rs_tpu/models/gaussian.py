@@ -63,7 +63,16 @@ def correlated_normal_rank1(dim: int, scale: float = 1.5, eig: float = 1000.0) -
         proj = uu @ y
         return -0.5 * (y @ y + coef * proj * proj)
 
-    model = Model(logp_fn=logp, dim=dim, name=f"corr_normal_{dim}d")
+    # Pallas kernels cannot capture array constants; ship u and the scale
+    # diagonal through the model-args VMEM channel (reductions instead of
+    # 1-D dots — Mosaic needs >= 2-D operands, and args arrive as [d, 1]).
+    def logp_args(q, uu, s):
+        y = q / jnp.sqrt(s[:, 0])
+        proj = jnp.sum(uu[:, 0] * y)
+        return -0.5 * (jnp.sum(y * y) + coef * proj * proj)
+
+    model = Model(logp_fn=logp, dim=dim, name=f"corr_normal_{dim}d",
+                  pallas_spec=(logp_args, (u[:, None], stds[:, None])))
     return model
 
 

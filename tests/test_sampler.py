@@ -209,6 +209,27 @@ def test_pallas_posterior_kernel():
     assert ss_["depth"].max() <= 10
 
 
+def test_pallas_request_on_low_rank_falls_back():
+    # posterior_kernel='pallas' on a low-rank preset silently uses the XLA
+    # kernels (the fused engine covers the diagonal transform; a fused
+    # per-chain low-rank path was measured 12-45x SLOWER than the XLA
+    # batched-matmul path on real v5e — per-chain matrices cannot ride the
+    # MXU in the chains-on-lanes layout, see BASELINE.md).  The request must
+    # not crash and the posterior must be correct.
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+
+    model = g.correlated_normal_rank1(8, scale=1.5, eig=100.0)
+    tr = sample(model, nt.LowRankNutsSettings(
+        posterior_kernel="pallas", num_tune=300, num_draws=400, num_chains=8,
+        seed=3, low_rank=nt.LowRankSettings(max_rank=4)), chunk_size=700)
+    d = np.asarray(tr.posterior["position"])
+    assert abs(d.mean()) < 0.35
+    assert not np.asarray(tr.sample_stats["diverging"]).any()
+    acc = np.asarray(tr.sample_stats["mean_tree_accept"]).mean()
+    assert 0.6 < acc <= 1.0
+
+
 def test_three_kernels_agree_statistically():
     # sync / async / pallas posterior engines must produce the same posterior
     # on a correlated target (different RNG streams, same distribution).
