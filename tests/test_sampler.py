@@ -142,6 +142,35 @@ def test_checkpoint_resume(tmp_path):
                                   full.posterior["position"])
 
 
+def test_checkpoint_resume_pallas_engines(tmp_path):
+    """Bit-identical resume through the fused Pallas warmup + posterior
+    engines: their PRNG seeds derive from the global draw index at each
+    launch, so identical chunk boundaries reproduce identical streams.
+    (Unlike the threefry path, pallas draws are chunk-boundary-dependent by
+    design — engine docstring — so all three runs share chunk_size.)"""
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+
+    model = g.normal_logp(4, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=40, num_draws=40, num_chains=2,
+                                   seed=11, posterior_kernel="pallas")
+    full = nt.sample(model, settings, chunk_size=20)
+
+    s1 = nt.Sampler(model, settings, chunk_size=20)
+    s1.run_next_chunk()
+    s1.run_next_chunk()
+    ckpt = str(tmp_path / "state.npz")
+    s1.checkpoint(ckpt)
+
+    s2 = nt.Sampler(model, settings, chunk_size=20)
+    s2.restore(ckpt)
+    while not s2.finished:
+        s2.run_next_chunk()
+    resumed = s2.trace.finalize()
+    np.testing.assert_array_equal(resumed.posterior["position"],
+                                  full.posterior["position"])
+
+
 def test_async_posterior_kernel():
     import nuts_rs_tpu as nt
     from nuts_rs_tpu.models import gaussian as g
