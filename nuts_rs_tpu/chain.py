@@ -529,9 +529,25 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
 
     interpret = jax.default_backend() != "tpu"
 
+    # Frozen-flow posterior (Fisher HMC with a learned transform): pooled
+    # flow params are SHARED across chains, so the coupling MLPs run as
+    # plain MXU matmuls over the chains-on-lanes layout (unlike the
+    # per-chain low-rank transform, which measured 12-45x slower fused —
+    # BASELINE.md).  Requires the FlowSpec to provide pallas hooks and
+    # pooled training (per-chain params cannot be shared).
+    spec = getattr(strategy, "spec", None)
+    is_flow = bool(getattr(getattr(strategy, "ops", None), "is_flow", False))
+    flow_proto = []
+    if is_flow:
+        if (spec is None or spec.pallas_forward is None
+                or not strategy.flow_settings.pool_chains):
+            return None
+        proto_t = strategy.make_transform(model.dim, jnp.float32)
+        flow_proto = spec.pallas_pack(proto_t.params)
+
     # VMEM budget: the whole sampler state + outputs live on-chip during a
     # launch.  Rough per-lane footprint (f32 words): stacks 6*(D+1)*d,
-    # ~30 vectors of d, outputs K*(d+13) (double-buffered across the grid).
+    # ~32 vectors of d, outputs K*(d+13) (double-buffered across the grid).
     # The block (chains per launch) is the largest tier whose footprint at
     # the minimum draw count (8) fits the budget — large d trades lane
     # occupancy for VMEM residency, which still beats the XLA path's
@@ -539,7 +555,14 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
     dim = model.dim
     D = config.nuts.maxdepth
     args_bytes = 4 * sum(int(np.prod(a.shape)) for a in pallas_args)
-    fixed = 6 * (D + 1) * dim + 30 * dim
+    args_bytes += 4 * sum(int(np.prod(a.shape)) for a in flow_proto)
+    fixed = 6 * (D + 1) * dim + 32 * dim + 4
+    if is_flow:
+        # autodiff through the flow keeps per-layer activations live during
+        # the backward pass: ~2 passes x (hidden + ~4 d-vectors) per layer.
+        n_layers = max(0, (len(flow_proto) - 2) // 7)
+        hidden = max((int(a.shape[0]) for a in flow_proto), default=0)
+        fixed += 2 * n_layers * (hidden + 4 * dim)
     # Pallas TPU requires the lane (chains) block dimension to be a multiple
     # of 128, so 128 is the smallest legal block: models whose VMEM-resident
     # state cannot fit at block 128 (d ≳ 200 at maxdepth 10 — the checkpoint
@@ -560,7 +583,27 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
         k = flags["is_tuning"].shape[0]
         bars = jax.vmap(partial(ss.step_size_bar, settings=sset))(state.step)
 
-        q_f, g_f, logp_f = state.pt.q, state.pt.g, state.pt.logp
+        if is_flow:
+            # flow mode: the q slot carries z (entering the flow needs its
+            # host-side inverse — the state already holds z); the kernel
+            # returns (q-space final, z-space final) in the (q, g) slots.
+            flow_params0 = jax.tree.map(lambda v: v[0],
+                                        state.transform.params)
+            flow_arg = (spec.pallas_forward, spec.pallas_pack(flow_params0))
+            pos_in = state.pt.z
+            ones_d = jnp.ones_like(state.pt.q)
+            stds_in, mean_in = ones_d, jnp.zeros_like(state.pt.q)
+            logdet_in = jnp.zeros_like(state.pt.logp)
+        else:
+            flow_arg = None
+            pos_in = state.pt.q
+            stds_in, mean_in = state.transform.stds, state.transform.mean
+            logdet_in = state.transform.logdet
+        # `pos` threads the kernel's position operand between sub-launches:
+        # q-space for the diagonal transform, z-space for flows (the aux_f
+        # output slot carries the final z there).
+        pos, g_f, logp_f = pos_in, state.pt.g, state.pt.logp
+        q_f = state.pt.q
         step_in = state.step.step_size
         draws_parts, out_parts = [], []
         done = 0
@@ -569,13 +612,15 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
             seed = (jnp.int32(base_seed & 0x7FFFFFFF)
                     ^ ((state.draw_idx + done)
                        * jnp.int32(2654435761 & 0x7FFFFFFF)))
-            q_f, g_f, logp_f, dpart, opart = nuts_pallas_run(
-                seed, q_f, g_f, logp_f,
-                state.transform.stds, state.transform.mean,
-                state.transform.logdet, step_in, bars,
+            q_f, aux_f, logp_f, dpart, opart = nuts_pallas_run(
+                seed, pos, g_f, logp_f,
+                stds_in, mean_in, logdet_in, step_in, bars,
                 kk, logp_grad_batched, config.nuts, sset.jitter,
                 interpret=interpret, model_args=pallas_args, block=block,
+                flow=flow_arg,
             )
+            pos = aux_f if is_flow else q_f
+            g_f = aux_f
             step_in = opart["step_size"][:, -1]
             draws_parts.append(dpart)
             out_parts.append(opart)
@@ -585,10 +630,19 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
                for key in out_parts[0] if key != "loop_iterations"}
 
         # rebuild a consistent Point at the final position
-        from .transform.affine import grad_to_transformed, to_transformed
+        if is_flow:
+            # g_f slot holds the final z; recompute everything from it
+            # through the flow (FlowOps.eval_from_z), exactly as the XLA
+            # path would.
+            z_f = g_f
+            q_f, logp_f, g_f, zg_f, _ld = jax.vmap(
+                lambda t_, z_: strategy.ops.eval_from_z(
+                    t_, z_, model.logp_and_grad))(state.transform, z_f)
+        else:
+            from .transform.affine import grad_to_transformed, to_transformed
 
-        z_f = jax.vmap(to_transformed)(state.transform, q_f)
-        zg_f = jax.vmap(grad_to_transformed)(state.transform, g_f)
+            z_f = jax.vmap(to_transformed)(state.transform, q_f)
+            zg_f = jax.vmap(grad_to_transformed)(state.transform, g_f)
         pt = state.pt._replace(q=q_f, g=g_f, z=z_f, zg=zg_f, logp=logp_f)
         state = state._replace(
             pt=pt,

@@ -76,10 +76,19 @@ def _hash_bits(shape, seed_u32, it, salt):
 
 def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 opts: NutsOptions, jitter, use_hw_prng: bool = True,
-                n_model_args: int = 0):
+                n_model_args: int = 0, flow=None):
     """Kernel body; all refs carry a [.., B] chains-on-lanes block layout.
     ``n_model_args`` extra refs (model data, e.g. a GLM design matrix) follow
-    the state inputs and are forwarded to ``logp_grad_batched``."""
+    the state inputs and are forwarded to ``logp_grad_batched``.
+
+    ``flow = (pallas_forward, n_flow_refs)`` switches the kernel to a frozen
+    NORMALIZING-FLOW transform (the post-warmup Fisher-HMC state):
+    ``n_flow_refs`` packed parameter refs (shared across chains — pooled
+    flow training — so the coupling MLPs run as plain MXU matmuls over the
+    [d, B] lanes layout) precede the model args; the q0 ref carries z0
+    instead (entering the flow needs its inverse, which runs host-side);
+    log-density, gradient AND position-dependent log-Jacobian come from ONE
+    in-kernel autodiff pass through ``pallas_forward`` per leapfrog."""
     D = opts.maxdepth
     MAX_ERR = opts.max_energy_error
     CHECK = bool(opts.check_turning)
@@ -88,6 +97,10 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
 
     def kernel(seed_ref, q0_ref, g0_ref, logp0_ref, stds_ref, mean_ref,
                logdet_ref, step0_ref, bar_ref, *rest):
+        if flow is not None:
+            flow_fwd, n_flow_refs = flow
+            flow_arrs = [r[:] for r in rest[:n_flow_refs]]
+            rest = rest[n_flow_refs:]
         model_arg_refs = rest[:n_model_args]
         (out_q_ref, out_stats_ref, fin_q_ref, fin_g_ref, fin_logp_ref,
          iters_ref) = rest[n_model_args:]
@@ -121,11 +134,28 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
         bar = bar_ref[:]                # [1, B]
         f32 = jnp.float32
 
-        def eval_z(z):
-            """z -> (logp [1,B], zg [d,B]) through the diagonal transform."""
-            q = z * stds + mean
-            logp, g = logp_grad_batched(q, *model_args)
-            return logp.reshape(1, B), g * stds
+        if flow is not None:
+            def eval_z(z):
+                """z -> (logp [1,B], zg [d,B], logdet [1,B], q [d,B]) through
+                the frozen flow: zg is the gradient of the z-space target
+                logp(F(z)) + logdet(z) (FlowOps.eval_from_z semantics), via
+                one value_and_grad pass (columns are independent, so the
+                grad of the lane-sum is the per-chain gradient)."""
+                def Fsum(zz):
+                    q, ld = flow_fwd(flow_arrs, zz)
+                    lp = logp_grad_batched(q, *model_args)[0]
+                    return jnp.sum(lp + ld[0]), (lp.reshape(1, B), ld, q)
+
+                (_, (lp, ld, q)), zg = jax.value_and_grad(
+                    Fsum, has_aux=True)(z)
+                return lp, zg, ld, q
+        else:
+            def eval_z(z):
+                """z -> (logp [1,B], zg [d,B], logdet [1,B], q [d,B]) through
+                the diagonal transform (logdet is position-independent)."""
+                q = z * stds + mean
+                logp, g = logp_grad_batched(q, *model_args)
+                return logp.reshape(1, B), g * stds, logdet, q
 
         def fresh_step():
             if jitter is None:
@@ -136,9 +166,17 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             return jnp.where(_uniform((1, B)) < 0.5, f32(1.0), f32(-1.0))
 
         # ---- initial state: fresh tree at (q0, g0, logp0) ----
-        z0 = (q0_ref[:] - mean) / stds
-        zg0 = g0_ref[:] * stds
-        logp0 = logp0_ref[:]
+        if flow is not None:
+            # flow mode: the "q0" ref carries z0 (host-side inverse); one
+            # in-kernel eval recovers q/logp/grad/logdet at the start point.
+            z0 = q0_ref[:]
+            logp0, zg0, ld0, qq0 = eval_z(z0)
+        else:
+            z0 = (q0_ref[:] - mean) / stds
+            zg0 = g0_ref[:] * stds
+            logp0 = logp0_ref[:]
+            ld0 = logdet
+            qq0 = q0_ref[:]
         v0 = _normals((dim, B))
         ke0 = 0.5 * jnp.sum(v0 * v0, 0, keepdims=True)
 
@@ -150,16 +188,20 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
         carry = dict(
             it=jnp.uint32(1),
             step=step0_ref[:],
-            e_init=ke0 - (logp0 + logdet),
+            e_init=ke0 - (logp0 + ld0),
             dc=ib,                                  # completed draws
             # moving edge (full leapfrog state)
             e_z=z0, e_v=v0, e_zg=zg0, e_idx=ib,
             # trajectory endpoints
             m_z=z0, m_v=v0, m_zg=zg0, m_idx=ib,     # minus
             p_z=z0, p_v=v0, p_zg=zg0, p_idx=ib,     # plus
-            # selected draws (momentum not needed)
+            # selected draws (momentum not needed); q and the (position-
+            # dependent, under a flow) log-Jacobian ride along so emission
+            # and energies never need the inverse map
             dm_z=z0, dm_zg=zg0, dm_logp=logp0, dm_ke=ke0, dm_idx=ib,
+            dm_q=qq0, dm_ld=ld0,
             ds_z=z0, ds_zg=zg0, ds_logp=logp0, ds_ke=ke0, ds_idx=ib,
+            ds_q=qq0, ds_ld=ld0,
             logw_m=zb, logw_s=jnp.full((1, B), -jnp.inf, f32),
             depth=ib, leaf=ib, direction=rand_dir(),
             # stats accumulators
@@ -184,10 +226,10 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             eps = dirf * c["step"]
             v1 = c["e_v"] + (eps / 2.0) * c["e_zg"]
             z1 = c["e_z"] + eps * v1
-            logp1, zg1 = eval_z(z1)
+            logp1, zg1, ld1, q1 = eval_z(z1)
             v2 = v1 + (eps / 2.0) * zg1
             ke1 = 0.5 * jnp.sum(v2 * v2, 0, keepdims=True)
-            energy1 = ke1 - (logp1 + logdet)
+            energy1 = ke1 - (logp1 + ld1)
             err = energy1 - c["e_init"]
             diverged = (err > MAX_ERR) | ~jnp.isfinite(err)
             idx1 = c["e_idx"] + diri
@@ -215,6 +257,8 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             ds_logp = jnp.where(take, logp1, c["ds_logp"])
             ds_ke = jnp.where(take, ke1, c["ds_ke"])
             ds_idx = jnp.where(take, idx1, c["ds_idx"])
+            ds_q = jnp.where(take, q1, c["ds_q"])
+            ds_ld = jnp.where(take, ld1, c["ds_ld"])
 
             # ---- stack writes (one-hot row masks) ----
             d1 = jnp.sum(z1 * v2, 0, keepdims=True)
@@ -329,6 +373,8 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             dm_logp = jnp.where(mt, ds_logp, c["dm_logp"])
             dm_ke = jnp.where(mt, ds_ke, c["dm_ke"])
             dm_idx = jnp.where(mt, ds_idx, c["dm_idx"])
+            dm_q = jnp.where(mt, ds_q, c["dm_q"])
+            dm_ld = jnp.where(mt, ds_ld, c["dm_ld"])
             logw_m = jnp.where(do_merge,
                                jnp.logaddexp(c["logw_m"], logw_s), c["logw_m"])
             mf = do_merge & fwd
@@ -348,8 +394,7 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
 
             # ---- emit the draw where the tree finished ----
             fin = tree_done
-            dm_q = dm_z * stds + mean
-            energy_m = dm_ke - (dm_logp + logdet)
+            energy_m = dm_ke - (dm_logp + dm_ld)
             fisher = jnp.sum(jnp.square(dm_z + dm_zg), 0, keepdims=True)
             krows = jax.lax.broadcasted_iota(jnp.int32, (K, 1, B), 0)
             kmask = fin[None] & (krows == c["dc"].reshape(1, 1, B))
@@ -384,7 +429,7 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             c2 = dict(
                 it=c["it"] + jnp.uint32(1),
                 step=nxt(step_new, c["step"], c["step"]),
-                e_init=nxt(ke_new - (dm_logp + logdet), c["e_init"],
+                e_init=nxt(ke_new - (dm_logp + dm_ld), c["e_init"],
                            c["e_init"]),
                 dc=c["dc"] + fin.astype(jnp.int32),
                 e_z=nxt(dm_z, j_z, z1), e_v=nxt(v_new, j_v, v2),
@@ -395,8 +440,9 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 p_zg=nxt(dm_zg, p_zg, p_zg), p_idx=nxt(ib, p_idx, p_idx),
                 dm_z=dm_z, dm_zg=dm_zg, dm_logp=dm_logp,
                 dm_ke=nxt(ke_new, dm_ke, dm_ke), dm_idx=nxt(ib, dm_idx, dm_idx),
+                dm_q=dm_q, dm_ld=dm_ld,
                 ds_z=ds_z, ds_zg=ds_zg, ds_logp=ds_logp, ds_ke=ds_ke,
-                ds_idx=ds_idx,
+                ds_idx=ds_idx, ds_q=ds_q, ds_ld=ds_ld,
                 logw_m=nxt(zb, logw_m, logw_m),
                 logw_s=logw_s,
                 depth=nxt(ib, depth, depth),
@@ -414,8 +460,12 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             return jnp.any(c["dc"] < K)
 
         final = jax.lax.while_loop(cond, body, carry)
-        fin_q_ref[:] = final["dm_z"] * stds + mean
-        fin_g_ref[:] = final["dm_zg"] / stds
+        fin_q_ref[:] = final["dm_q"]
+        # flow mode: no in-kernel inverse — the aux (g) output slot carries
+        # the final z instead, which threads into the next launch's position
+        # operand; the runner recomputes the model-space gradient host-side.
+        fin_g_ref[:] = (final["dm_zg"] / stds if flow is None
+                        else final["dm_z"])
         fin_logp_ref[:] = final["dm_logp"]
         iters_ref[:] = jnp.broadcast_to(
             final["it"].astype(jnp.int32).reshape(1, 1), iters_ref.shape)
@@ -440,13 +490,20 @@ def nuts_pallas_run(
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
     model_args: tuple = (),
+    flow=None,
 ):
     """Launch the fused kernel; returns (q_fin, g_fin, logp_fin, draws, stats)
     with draws [C, K, d] and stats dict of [C, K] arrays.
 
     ``model_args``: arrays the model's logp needs (replicated to every block,
     VMEM-resident — suitable up to a few MB; larger datasets need an HBM/DMA
-    path).  ``logp_grad_batched(q, *model_args)``."""
+    path).  ``logp_grad_batched(q, *model_args)``.
+
+    ``flow = (pallas_forward, packed_arrays)``: frozen-flow mode (see
+    make_kernel) — ``packed_arrays`` are the FlowSpec.pallas_pack output
+    (2-D, shared across chains), and the ``q`` argument must carry z0 (the
+    transformed-space positions; entering the flow needs its inverse, which
+    the caller runs host-side)."""
     C, d = q.shape
     K = num_draws
     B = min(block, C)
@@ -461,10 +518,23 @@ def nuts_pallas_run(
     step_t, bar_t = cl(step0[:, None]), cl(step_bar[:, None])
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
+    flow_kernel_arg = None
+    flow_ops, flow_specs = (), []
+    if flow is not None:
+        flow_fwd, packed = flow
+        flow_ops = tuple(jnp.asarray(a, jnp.float32) for a in packed)
+        flow_specs = [
+            pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
+                         memory_space=pltpu.VMEM)
+            for a in flow_ops
+        ]
+        flow_kernel_arg = (flow_fwd, len(flow_ops))
+
     model_args = tuple(jnp.asarray(a, jnp.float32) for a in model_args)
     kernel = make_kernel(logp_grad_batched, d, K, opts, jitter,
                          use_hw_prng=not interpret,
-                         n_model_args=len(model_args))
+                         n_model_args=len(model_args),
+                         flow=flow_kernel_arg)
 
     vspec = lambda r: pl.BlockSpec((r, B), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
@@ -486,7 +556,7 @@ def nuts_pallas_run(
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         vspec(d), vspec(d), vspec(1), vspec(d), vspec(d), vspec(1),
         vspec(1), vspec(1),
-    ] + [
+    ] + flow_specs + [
         pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
                      memory_space=pltpu.VMEM)
         for a in model_args
@@ -499,7 +569,7 @@ def nuts_pallas_run(
         out_shape=out_shapes,
         interpret=interpret,
     )(seed_arr, q_t, g_t, logp_t, stds_t, mean_t, logdet_t, step_t, bar_t,
-      *model_args)
+      *flow_ops, *model_args)
 
     draws_out = jnp.moveaxis(draws, 2, 0)                   # [C, K, d]
     stats_out = {name: stats[:, i, :].T for i, name in enumerate(STAT_NAMES)}

@@ -143,7 +143,13 @@ class NutsSettings:
         return self.posterior_kernel
 
     def _pallas_ok(self) -> bool:
-        return (self.mass_matrix == "diag"
+        # diag: fused warmup + posterior.  flow: fused posterior with the
+        # FROZEN learned flow (pooled params ride the MXU; warmup — flow
+        # refits — stays on the XLA path); the runner builder returns None
+        # (-> XLA fallback) for flows without pallas hooks or with
+        # per-chain (unpooled) params.  low_rank: measured slower fused
+        # than XLA (BASELINE.md), always falls back.
+        return (self.mass_matrix in ("diag", "flow")
                 and self.kinetic_energy is KineticKind.EUCLIDEAN
                 and self.mindepth == 0
                 and self.extra_doublings == 0
@@ -176,6 +182,7 @@ class NutsSettings:
         if runner is None:
             return [(0, total, sync)]
         if (kind == "pallas"
+                and self.mass_matrix == "diag"
                 and self.step_size.method is StepSizeMethod.DUAL_AVERAGE):
             # Fused warmup (kernels/nuts_pallas.py warmup section): whole
             # chunks of tuning draws per pallas_call with in-kernel

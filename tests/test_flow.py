@@ -145,3 +145,28 @@ def test_flow_orbit_collection_sampling():
     n_warmup_steps = trace.warmup_sample_stats["n_steps"].sum(axis=1)
     assert (counts > 400).all()
     assert (counts <= n_warmup_steps).all()
+
+
+def test_coupling_flow_pallas_posterior():
+    """Fused Pallas flow posterior (frozen pooled coupling flow in-kernel,
+    autodiffed through pallas_forward): same posterior as the XLA flow path
+    on the funnel, no divergence blowup, and per-draw energies finite."""
+    model = gaussian.funnel(4)
+    base = dict(num_tune=300, num_draws=300, num_chains=4, seed=2,
+                flow_spec=coupling_flow(CouplingFlowConfig(
+                    num_layers=2, hidden=16, train_steps=100)))
+    tr_p = nt.sample(model, nt.FlowNutsSettings(posterior_kernel="pallas",
+                                                **base), chunk_size=150)
+    tr_s = nt.sample(model, nt.FlowNutsSettings(posterior_kernel="sync",
+                                                **base), chunk_size=150)
+    for name, tr in (("pallas", tr_p), ("sync", tr_s)):
+        d = np.asarray(tr.posterior["position"])
+        assert np.isfinite(d).all(), name
+        assert abs(d[..., 0].mean()) < 1.5, (name, d[..., 0].mean())
+        assert np.isfinite(np.asarray(tr.sample_stats["energy"])).all(), name
+        div = np.asarray(tr.sample_stats["diverging"]).mean()
+        assert div < 0.25, (name, div)
+    # distributional agreement on the funnel's v-marginal spread
+    sp = np.asarray(tr_p.posterior["position"])[..., 0].std()
+    ss = np.asarray(tr_s.posterior["position"])[..., 0].std()
+    assert abs(sp - ss) < 0.8, (sp, ss)
