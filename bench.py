@@ -44,6 +44,9 @@ _ANCHOR_FALLBACK = {
     (10, 10, 0): 2.57e6,
     (1000, 10, 0): 4.6e4,
     (100, 10, 1000): 4.7e3,
+    # n=1000 measurement scaled by data size (the dense mat-vec dominates);
+    # also covers an anchor-run timeout at this n.
+    (100, 10, 131072): 36.0,
 }
 
 
@@ -74,6 +77,12 @@ def _make_model(name):
         return gaussian.normal_logp(1000, mu=3.0), 3.0
     if name == "logreg_d100":
         return gaussian.logistic_regression(n_data=1000, dim=100, seed=0), None
+    if name == "logreg_big":
+        # 131072x100 design matrix (52 MB): far beyond the fused engine's
+        # VMEM-replication budget, so the posterior phase exercises the
+        # HBM-streaming StreamSpec path (DMA'd row tiles per leapfrog).
+        return gaussian.logistic_regression(
+            n_data=131072, dim=100, seed=0), None
     if name == "mclmc_d10":
         return gaussian.normal_logp(10, mu=3.0), 3.0
     raise ValueError(name)
@@ -177,9 +186,15 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
     except Exception:
         pass
 
-    anchor = native_anchor_rate(
-        model.dim, 1000, 1000, maxdepth,
-        logreg_n=1000 if name == "logreg_d100" else 0)
+    if name == "logreg_big":
+        # Anchor at n=131072 single-core: dominated by the dense 131072x100
+        # mat-vec per eval — a handful of draws measures the steady rate.
+        anchor = native_anchor_rate(model.dim, 3, 3, maxdepth,
+                                    logreg_n=131072)
+    else:
+        anchor = native_anchor_rate(
+            model.dim, 1000, 1000, maxdepth,
+            logreg_n=1000 if name == "logreg_d100" else 0)
 
     detail = {
         "config": name,
@@ -208,9 +223,12 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
 def run_bench():
     head_rate, head = run_config("normal_d10")
     grid = [head]
-    for name in ("normal_d1000", "logreg_d100", "mclmc_d10"):
+    side = [("normal_d1000", {}), ("logreg_d100", {}), ("mclmc_d10", {}),
+            ("logreg_big", dict(num_chains=256, attempts=1))]
+    for name, kw in side:
         try:
-            grid.append(run_config(name, num_tune=300, num_draws=400)[1])
+            grid.append(run_config(name, num_tune=300, num_draws=400,
+                                   **kw)[1])
         except Exception as e:  # a failing side config must not kill the bench
             grid.append({"config": name, "error": repr(e)})
     return {

@@ -569,11 +569,29 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
     # stacks are 6*(D+1)*d words/chain) fall back to the XLA kernels by
     # returning None here.
     tiers = (256, 128) if dim <= 32 else (128,)
-    block = None
-    for tier in tiers:
-        if 4 * tier * (fixed + 2 * 8 * (dim + 13)) + args_bytes <= 12_000_000:
-            block = tier
-            break
+
+    def pick_block(abytes):
+        for tier in tiers:
+            if 4 * tier * (fixed + 2 * 8 * (dim + 13)) + abytes <= 12_000_000:
+                return tier
+        return None
+
+    # Likelihood-data residency: VMEM replication while the data fits (no
+    # DMA churn), HBM streaming (StreamSpec double-buffered tiles) beyond
+    # that.  Stream-only models (no dense pallas channel — the autodiff
+    # fallback would capture the data arrays, which Mosaic rejects) go
+    # straight to streaming.  Flows carry their own data channel.
+    use_stream = False
+    stream_only = (model.pallas_stream is not None
+                   and model.pallas_logp_grad is None
+                   and model.pallas_spec is None)
+    block = None if stream_only else pick_block(args_bytes)
+    if block is None and model.pallas_stream is not None and not is_flow:
+        spec_s = model.pallas_stream
+        args_bytes = 4 * 2 * spec_s.tile_rows * sum(
+            int(np.prod(a.shape[1:])) for a in spec_s.args)
+        block = pick_block(args_bytes)
+        use_stream = block is not None
     if block is None:
         return None
     budget_words = (13_000_000 - args_bytes) // (4 * block)
@@ -616,8 +634,10 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
                 seed, pos, g_f, logp_f,
                 stds_in, mean_in, logdet_in, step_in, bars,
                 kk, logp_grad_batched, config.nuts, sset.jitter,
-                interpret=interpret, model_args=pallas_args, block=block,
+                interpret=interpret,
+                model_args=() if use_stream else pallas_args, block=block,
                 flow=flow_arg,
+                stream=model.pallas_stream if use_stream else None,
             )
             pos = aux_f if is_flow else q_f
             g_f = aux_f
@@ -710,6 +730,11 @@ def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
             f = lambda qq: logp_fn_args(qq, *args)
             return jax.vmap(jax.value_and_grad(f), in_axes=1,
                             out_axes=(0, 1))(q)
+    elif model.pallas_stream is not None:
+        # Stream-only model: no dense data channel for the warmup kernel
+        # (the autodiff fallback would capture the data arrays, which
+        # Mosaic rejects) — warmup stays on the XLA path.
+        return None
     else:
         pallas_args = ()
 

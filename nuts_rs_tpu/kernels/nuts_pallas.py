@@ -76,7 +76,7 @@ def _hash_bits(shape, seed_u32, it, salt):
 
 def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 opts: NutsOptions, jitter, use_hw_prng: bool = True,
-                n_model_args: int = 0, flow=None):
+                n_model_args: int = 0, flow=None, stream=None):
     """Kernel body; all refs carry a [.., B] chains-on-lanes block layout.
     ``n_model_args`` extra refs (model data, e.g. a GLM design matrix) follow
     the state inputs and are forwarded to ``logp_grad_batched``.
@@ -88,7 +88,16 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
     [d, B] lanes layout) precede the model args; the q0 ref carries z0
     instead (entering the flow needs its inverse, which runs host-side);
     log-density, gradient AND position-dependent log-Jacobian come from ONE
-    in-kernel autodiff pass through ``pallas_forward`` per leapfrog."""
+    in-kernel autodiff pass through ``pallas_forward`` per leapfrog.
+
+    ``stream = (tile_eval, finalize, n_stream_refs, tile_rows)`` switches the
+    likelihood to the HBM-STREAMING data path (models.model.StreamSpec):
+    ``n_stream_refs`` data refs stay in HBM (``memory_space=ANY``) and each
+    evaluation DMAs row tiles through double-buffered VMEM scratch (one HBM
+    pass of the data per leapfrog — prefetch of tile t+1 overlaps compute on
+    tile t), accumulating the per-tile (logp, grad) partials.  Mutually
+    exclusive with ``flow``."""
+    assert flow is None or stream is None, "flow + streaming not supported"
     D = opts.maxdepth
     MAX_ERR = opts.max_energy_error
     CHECK = bool(opts.check_turning)
@@ -101,9 +110,16 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             flow_fwd, n_flow_refs = flow
             flow_arrs = [r[:] for r in rest[:n_flow_refs]]
             rest = rest[n_flow_refs:]
+        n_stream = stream[2] if stream is not None else 0
+        stream_refs = rest[:n_stream]
+        rest = rest[n_stream:]
         model_arg_refs = rest[:n_model_args]
+        rest = rest[n_model_args:]
         (out_q_ref, out_stats_ref, fin_q_ref, fin_g_ref, fin_logp_ref,
-         iters_ref) = rest[n_model_args:]
+         iters_ref) = rest[:6]
+        if stream is not None:
+            stream_scratch = rest[6:6 + n_stream]
+            stream_sem = rest[6 + n_stream]
         model_args = tuple(r[:] for r in model_arg_refs)
         B = q0_ref.shape[1]
         if use_hw_prng:
@@ -149,6 +165,44 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 (_, (lp, ld, q)), zg = jax.value_and_grad(
                     Fsum, has_aux=True)(z)
                 return lp, zg, ld, q
+        elif stream is not None:
+            tile_eval, finalize, _, TILE = stream
+            n_rows = stream_refs[0].shape[0]
+            n_tiles = n_rows // TILE
+
+            def _copy(t, slot):
+                return [pltpu.make_async_copy(
+                    r.at[pl.ds(t * TILE, TILE)],
+                    stream_scratch[i].at[slot],
+                    stream_sem.at[slot, i])
+                    for i, r in enumerate(stream_refs)]
+
+            def eval_z(z):
+                """z -> (logp [1,B], zg [d,B], logdet [1,B], q [d,B]) with
+                the likelihood data STREAMED from HBM: the tile loop is a
+                static unroll (row count is static), tile t+1's DMA is
+                issued before tile t's compute so the copy engine overlaps
+                the MXU work, and accumulators stay in registers (the
+                unroll makes them plain SSA values — no loop-carry layout
+                hazards)."""
+                q = z * stds + mean
+                for cp in _copy(0, 0):
+                    cp.start()
+                lp_acc = jnp.zeros((1, B), f32)
+                g_acc = jnp.zeros((dim, B), f32)
+                for t in range(n_tiles):
+                    slot = t % 2
+                    if t + 1 < n_tiles:
+                        for cp in _copy(t + 1, (t + 1) % 2):
+                            cp.start()
+                    for cp in _copy(t, slot):
+                        cp.wait()
+                    tiles = tuple(s[slot] for s in stream_scratch)
+                    lp_p, g_p = tile_eval(q, *tiles)
+                    lp_acc = lp_acc + lp_p
+                    g_acc = g_acc + g_p
+                logp, g = finalize(q, lp_acc, g_acc)
+                return logp.reshape(1, B), g * stds, logdet, q
         else:
             def eval_z(z):
                 """z -> (logp [1,B], zg [d,B], logdet [1,B], q [d,B]) through
@@ -491,19 +545,25 @@ def nuts_pallas_run(
     interpret: bool = False,
     model_args: tuple = (),
     flow=None,
+    stream=None,
 ):
     """Launch the fused kernel; returns (q_fin, g_fin, logp_fin, draws, stats)
     with draws [C, K, d] and stats dict of [C, K] arrays.
 
     ``model_args``: arrays the model's logp needs (replicated to every block,
-    VMEM-resident — suitable up to a few MB; larger datasets need an HBM/DMA
-    path).  ``logp_grad_batched(q, *model_args)``.
+    VMEM-resident — suitable up to a few MB; larger datasets use ``stream``).
+    ``logp_grad_batched(q, *model_args)``.
 
     ``flow = (pallas_forward, packed_arrays)``: frozen-flow mode (see
     make_kernel) — ``packed_arrays`` are the FlowSpec.pallas_pack output
     (2-D, shared across chains), and the ``q`` argument must carry z0 (the
     transformed-space positions; entering the flow needs its inverse, which
-    the caller runs host-side)."""
+    the caller runs host-side).
+
+    ``stream``: a ``models.model.StreamSpec`` — the likelihood data stays in
+    HBM and every evaluation DMAs it tile-by-tile through double-buffered
+    VMEM scratch (see make_kernel).  ``logp_grad_batched``/``model_args``
+    are ignored on this path; the StreamSpec carries the whole likelihood."""
     C, d = q.shape
     K = num_draws
     B = min(block, C)
@@ -530,11 +590,25 @@ def nuts_pallas_run(
         ]
         flow_kernel_arg = (flow_fwd, len(flow_ops))
 
+    stream_kernel_arg = None
+    stream_args, stream_specs, scratch_shapes = (), [], []
+    if stream is not None:
+        stream_args = tuple(jnp.asarray(a, jnp.float32) for a in stream.args)
+        stream_specs = [pl.BlockSpec(memory_space=pl.ANY)
+                        for _ in stream_args]
+        scratch_shapes = [
+            pltpu.VMEM((2, stream.tile_rows) + a.shape[1:], jnp.float32)
+            for a in stream_args
+        ] + [pltpu.SemaphoreType.DMA((2, len(stream_args)))]
+        stream_kernel_arg = (stream.tile_eval, stream.finalize,
+                             len(stream_args), stream.tile_rows)
+        model_args = ()
+
     model_args = tuple(jnp.asarray(a, jnp.float32) for a in model_args)
     kernel = make_kernel(logp_grad_batched, d, K, opts, jitter,
                          use_hw_prng=not interpret,
                          n_model_args=len(model_args),
-                         flow=flow_kernel_arg)
+                         flow=flow_kernel_arg, stream=stream_kernel_arg)
 
     vspec = lambda r: pl.BlockSpec((r, B), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
@@ -556,7 +630,7 @@ def nuts_pallas_run(
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         vspec(d), vspec(d), vspec(1), vspec(d), vspec(d), vspec(1),
         vspec(1), vspec(1),
-    ] + flow_specs + [
+    ] + flow_specs + stream_specs + [
         pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
                      memory_space=pltpu.VMEM)
         for a in model_args
@@ -567,9 +641,10 @@ def nuts_pallas_run(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(seed_arr, q_t, g_t, logp_t, stds_t, mean_t, logdet_t, step_t, bar_t,
-      *flow_ops, *model_args)
+      *flow_ops, *stream_args, *model_args)
 
     draws_out = jnp.moveaxis(draws, 2, 0)                   # [C, K, d]
     stats_out = {name: stats[:, i, :].T for i, name in enumerate(STAT_NAMES)}

@@ -1,2 +1,2 @@
-from .model import Model
+from .model import Model, StreamSpec
 from . import gaussian

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.axis import dsum
-from .model import Model
+from .model import Model, StreamSpec
 
 
 def normal_logp(dim: int, mu: float = 3.0) -> Model:
@@ -169,6 +169,37 @@ def logistic_regression(n_data: int = 1000, dim: int = 100, seed: int = 0) -> Mo
                        preferred_element_type=jnp.float32) - q     # [d, B]
         return logp, grad
 
+    # HBM-streaming form (StreamSpec): for n_data too large to replicate
+    # into VMEM the fused engine DMAs row tiles.  Rows are padded to a
+    # multiple of tile_rows with ZERO-WEIGHT rows (w=0) so the kernel never
+    # sees a partial tile and padding contributes exactly nothing to either
+    # the log-likelihood or the gradient.
+    tile_rows = 512 if n_data >= 512 else 8
+    n_pad = (-n_data) % tile_rows
+    x_p = np.concatenate([x, np.zeros((n_pad, dim), np.float32)], axis=0)
+    y_p = np.concatenate([y, np.zeros(n_pad, np.float32)])[:, None]
+    w_p = np.concatenate([np.ones(n_data, np.float32),
+                          np.zeros(n_pad, np.float32)])[:, None]
+
+    def tile_eval(q, xt, yt, wt):
+        # q: [d, B]; xt: [T, d]; yt/wt: [T, 1].  Two MXU contractions per
+        # tile — the forward matvec and the closed-form gradient
+        # back-contraction reuse the SAME VMEM-resident tile.
+        logits = jnp.dot(xt, q, preferred_element_type=jnp.float32)  # [T, B]
+        ll = jnp.sum(wt * (yt * logits - jnp.logaddexp(0.0, logits)),
+                     axis=0, keepdims=True)                          # [1, B]
+        r = wt * (yt - 1.0 / (1.0 + jnp.exp(-logits)))               # [T, B]
+        grad = jax.lax.dot_general(
+            xt, r, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                      # [d, B]
+        return ll, grad
+
+    def finalize(q, lp_acc, g_acc):
+        return (lp_acc[0] - 0.5 * jnp.sum(q * q, axis=0), g_acc - q)
+
     return Model(logp_fn=logp, dim=dim, name=f"logreg_{dim}d",
                  pallas_spec=(logp_with_args, (x, y[:, None])),
-                 pallas_logp_grad=(logp_grad_batched, (x, y[:, None])))
+                 pallas_logp_grad=(logp_grad_batched, (x, y[:, None])),
+                 pallas_stream=StreamSpec(
+                     args=(x_p, y_p, w_p), tile_rows=tile_rows,
+                     tile_eval=tile_eval, finalize=finalize))

@@ -20,6 +20,42 @@ import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
+class StreamSpec:
+    """HBM-streaming data contract for the fused Pallas engine.
+
+    For data-heavy likelihoods (GLMs with large design matrices) whose
+    arrays exceed the VMEM-replication budget of ``pallas_logp_grad``: the
+    arrays stay in HBM and the kernel DMAs row tiles through a
+    double-buffered VMEM scratch, accumulating log-density and gradient
+    partials per tile — one HBM pass of the data per leapfrog evaluation
+    (the closed-form two-matmul GLM gradient reuses each tile for both the
+    forward contraction and the gradient back-contraction).
+
+    ``args``: arrays sharing one leading row axis, pre-padded to a multiple
+    of ``tile_rows`` (models encode padding as zero-weight rows — the
+    kernel never sees a partial tile).  ``tile_eval(q[d, B], *tiles) ->
+    (logp_part [1, B], grad_part [d, B])`` computes one tile's contribution;
+    ``finalize(q, logp_acc, grad_acc)`` adds the data-independent terms
+    (priors).  Everything must lower inside a Pallas kernel.
+    """
+
+    args: tuple
+    tile_rows: int
+    tile_eval: Callable
+    finalize: Callable
+
+    def __post_init__(self):
+        n = self.args[0].shape[0]
+        if n % self.tile_rows != 0:
+            raise ValueError(
+                f"stream args rows ({n}) must be a multiple of "
+                f"tile_rows ({self.tile_rows}); pad with zero-weight rows")
+        for a in self.args:
+            if a.shape[0] != n:
+                raise ValueError("all stream args must share the row axis")
+
+
+@dataclasses.dataclass(frozen=True)
 class Model:
     """A target distribution defined by an unnormalized log density.
 
@@ -60,6 +96,12 @@ class Model:
     # boolean transposes in some backward passes); closed-form GLM gradients
     # also keep everything on the MXU.
     pallas_logp_grad: Optional[tuple] = None
+    # Optional HBM-streaming form of the likelihood for the fused engine
+    # (see StreamSpec): used when the data arrays are too large for
+    # VMEM replication.  Models may provide both — the engine picks
+    # VMEM replication while the data fits (no DMA churn) and streaming
+    # beyond that.
+    pallas_stream: Optional["StreamSpec"] = None
     # True when ``logp_fn`` is written against ``parallel.axis.dsum``/
     # ``dfinish`` so it computes the GLOBAL log density when traced inside a
     # dim-sharded ``shard_map`` (each shard sees its local parameter block).
