@@ -104,13 +104,11 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
             seed=0)
     else:
         if kernel is None:
-            # The fused Pallas engine is the fast path on real TPUs; its VMEM
-            # budget caps the d=1000 state (6 checkpoint stacks of
-            # [maxdepth+1, d, block] at the minimum legal lane block of 128),
-            # so the runner would fall back to the XLA sync kernel anyway —
-            # named explicitly here so the reported `kernel` field stays
-            # honest.
-            kernel = "pallas" if on_tpu and name != "normal_d1000" else "sync"
+            # The fused Pallas engine is the fast path on real TPUs; at
+            # d=1000 the runner selects its dim-on-lanes tier (layout="ld",
+            # kernels/nuts_pallas.py) since the chains-on-lanes checkpoint
+            # stacks cannot fit VMEM there.
+            kernel = "pallas" if on_tpu else "sync"
         settings = nt.DiagNutsSettings(
             num_tune=num_tune, num_draws=num_draws, num_chains=num_chains,
             maxdepth=maxdepth, seed=0, posterior_kernel=kernel)

@@ -582,20 +582,61 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
     # fallback would capture the data arrays, which Mosaic rejects) go
     # straight to streaming.  Flows carry their own data channel.
     use_stream = False
+    layout = "cl"
     stream_only = (model.pallas_stream is not None
                    and model.pallas_logp_grad is None
                    and model.pallas_spec is None)
     block = None if stream_only else pick_block(args_bytes)
     if block is None and model.pallas_stream is not None and not is_flow:
         spec_s = model.pallas_stream
-        args_bytes = 4 * 2 * spec_s.tile_rows * sum(
+        stream_bytes = 4 * 2 * spec_s.tile_rows * sum(
             int(np.prod(a.shape[1:])) for a in spec_s.args)
-        block = pick_block(args_bytes)
+        block = pick_block(stream_bytes)
         use_stream = block is not None
+        if use_stream:
+            args_bytes = stream_bytes
+    if block is None and not is_flow and not stream_only:
+        # Large-d tier: dim-on-lanes layout (kernels/nuts_pallas.py
+        # layout="ld") — chains ride sublanes in SMALL blocks while the
+        # parameter axis fills the lanes, so the checkpoint stacks that
+        # could never fit chains-on-lanes stay VMEM-resident (d in the
+        # thousands; the reference's sample_1000_1000 regime,
+        # benches/sample.rs:195-198).  Lane padding rounds d up to 128.
+        dim_pad = -(-dim // 128) * 128
+        fixed_ld = (6 * (D + 1) + 32) * dim_pad + 64 * 128
+        for tier in (32, 16, 8):
+            if (4 * tier * (fixed_ld + 2 * 8 * (dim_pad + 128))
+                    + args_bytes <= 12_000_000):
+                block = tier
+                layout = "ld"
+                fixed = fixed_ld
+                break
     if block is None:
         return None
     budget_words = (13_000_000 - args_bytes) // (4 * block)
-    MAX_K = int(max(8, min(64, (budget_words - fixed) // (2 * (dim + 13)))))
+    if layout == "ld":
+        dim_pad = -(-dim // 128) * 128
+        MAX_K = int(max(8, min(64, (budget_words - fixed)
+                               // (2 * (dim_pad + 128)))))
+        # the hand-written [d, B]-oriented closed-form channel
+        # (pallas_logp_grad) does not apply to the transposed layout;
+        # rebuild the batched eval in [B, d] orientation.
+        if model.pallas_spec is not None:
+            logp_fn_args, pallas_args = model.pallas_spec
+
+            def logp_grad_batched(q, *args):  # [B, d] -> ([B], [B, d])
+                f = lambda qq: logp_fn_args(qq, *args)
+                return jax.vmap(jax.value_and_grad(f), in_axes=0,
+                                out_axes=(0, 0))(q)
+        else:
+            pallas_args = ()
+
+            def logp_grad_batched(q):
+                return jax.vmap(model.logp_and_grad, in_axes=0,
+                                out_axes=(0, 0))(q)
+    else:
+        MAX_K = int(max(8, min(64, (budget_words - fixed)
+                               // (2 * (dim + 13)))))
 
     def runner(state: ChainState, flags):
         k = flags["is_tuning"].shape[0]
@@ -623,13 +664,22 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
         pos, g_f, logp_f = pos_in, state.pt.g, state.pt.logp
         q_f = state.pt.q
         step_in = state.step.step_size
+        # Device-decorrelation salt: the kernel's PRNG stream is derived
+        # from (scalar seed, program_id), so under shard_map every device
+        # would otherwise replay the SAME stream for its local chain
+        # blocks.  The first local chain's threefry key differs per shard
+        # (keys are sharded over the chains mesh axis) and is part of the
+        # checkpointed state, so resume stays bit-identical.
+        dev_salt = jax.random.randint(
+            state.keys[0], (), 0, 2**31 - 1, dtype=jnp.int32)
         draws_parts, out_parts = [], []
         done = 0
         while done < k:
             kk = min(MAX_K, k - done)
             seed = (jnp.int32(base_seed & 0x7FFFFFFF)
                     ^ ((state.draw_idx + done)
-                       * jnp.int32(2654435761 & 0x7FFFFFFF)))
+                       * jnp.int32(2654435761 & 0x7FFFFFFF))
+                    ^ dev_salt)
             q_f, aux_f, logp_f, dpart, opart = nuts_pallas_run(
                 seed, pos, g_f, logp_f,
                 stds_in, mean_in, logdet_in, step_in, bars,
@@ -638,6 +688,7 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
                 model_args=() if use_stream else pallas_args, block=block,
                 flow=flow_arg,
                 stream=model.pallas_stream if use_stream else None,
+                layout=layout,
             )
             pos = aux_f if is_flow else q_f
             g_f = aux_f
@@ -803,13 +854,19 @@ def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
         q_f, g_f, logp_f = state.pt.q, state.pt.g, state.pt.logp
         stds_f, mean_f = state.transform.stds, state.transform.mean
         est_f, sca_f = est, sca
+        # Same device-decorrelation salt as the posterior runner: distinct
+        # PRNG streams per mesh shard (no-op semantics change otherwise —
+        # still a pure function of the checkpointed state).
+        dev_salt = jax.random.randint(
+            state.keys[0], (), 0, 2**31 - 1, dtype=jnp.int32)
         draws_parts, out_parts = [], []
         done = 0
         while done < k:
             kk = min(MAX_K, k - done)
             seed = (jnp.int32(base_seed & 0x7FFFFFFF)
                     ^ ((state.draw_idx + done)
-                       * jnp.int32(2654435761 & 0x7FFFFFFF)))
+                       * jnp.int32(2654435761 & 0x7FFFFFFF))
+                    ^ dev_salt)
             (q_f, g_f, logp_f, stds_f, mean_f, est_f, sca_f, dpart,
              opart) = nuts_pallas_warmup_run(
                 seed, flag_cols[done:done + kk], q_f, g_f, logp_f,

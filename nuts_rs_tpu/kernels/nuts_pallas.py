@@ -76,8 +76,25 @@ def _hash_bits(shape, seed_u32, it, salt):
 
 def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 opts: NutsOptions, jitter, use_hw_prng: bool = True,
-                n_model_args: int = 0, flow=None, stream=None):
+                n_model_args: int = 0, flow=None, stream=None,
+                layout: str = "cl"):
     """Kernel body; all refs carry a [.., B] chains-on-lanes block layout.
+
+    ``layout`` picks the on-chip state orientation (same tree algorithm,
+    single source — only shapes/reduction axes change):
+
+    * ``"cl"`` (chains-on-lanes, default): vectors are [d, B], per-chain
+      scalars [1, B]; lanes are chains, so B >= 128 keeps the VPU full.
+      Best when the whole state (incl. the 6 checkpoint stacks of
+      (D+1) x d x B words) fits VMEM — small/medium d.
+    * ``"ld"`` (dim-on-lanes): vectors are [B, d], scalars [B, 1]; lanes
+      are parameter dims, chains ride sublanes with SMALL B (8-32).  The
+      per-block state is ~B x (6(D+1)+32) x d words, so d in the
+      thousands stays VMEM-resident where the "cl" stacks could never
+      fit — this is what makes the reference's ``sample_1000_1000``
+      configuration (benches/sample.rs:195-198) runnable on the fused
+      engine instead of the HBM-bound XLA while_loop.  flow/stream
+      modes are cl-only.
     ``n_model_args`` extra refs (model data, e.g. a GLM design matrix) follow
     the state inputs and are forwarded to ``logp_grad_batched``.
 
@@ -98,6 +115,10 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
     tile t), accumulating the per-tile (logp, grad) partials.  Mutually
     exclusive with ``flow``."""
     assert flow is None or stream is None, "flow + streaming not supported"
+    assert layout in ("cl", "ld")
+    LD = layout == "ld"
+    assert not (LD and (flow is not None or stream is not None)), \
+        "flow/stream modes are chains-on-lanes only"
     D = opts.maxdepth
     MAX_ERR = opts.max_energy_error
     CHECK = bool(opts.check_turning)
@@ -121,7 +142,13 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             stream_scratch = rest[6:6 + n_stream]
             stream_sem = rest[6 + n_stream]
         model_args = tuple(r[:] for r in model_arg_refs)
-        B = q0_ref.shape[1]
+        B = q0_ref.shape[0] if LD else q0_ref.shape[1]
+        VS = (B, dim) if LD else (dim, B)   # per-chain vector block shape
+        SS = (B, 1) if LD else (1, B)       # per-chain scalar block shape
+
+        def csum(x):
+            """Per-chain contraction along the layout's reduction axis."""
+            return jnp.sum(x, 1 if LD else 0, keepdims=True)
         if use_hw_prng:
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         seed_u32 = (seed_ref[0, 0].astype(jnp.uint32)
@@ -205,19 +232,19 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 return logp.reshape(1, B), g * stds, logdet, q
         else:
             def eval_z(z):
-                """z -> (logp [1,B], zg [d,B], logdet [1,B], q [d,B]) through
+                """z -> (logp [SS], zg [VS], logdet [SS], q [VS]) through
                 the diagonal transform (logdet is position-independent)."""
                 q = z * stds + mean
                 logp, g = logp_grad_batched(q, *model_args)
-                return logp.reshape(1, B), g * stds, logdet, q
+                return logp.reshape(SS), g * stds, logdet, q
 
         def fresh_step():
             if jitter is None:
                 return bar
-            return bar * (1.0 - jitter + 2.0 * jitter * _uniform((1, B)))
+            return bar * (1.0 - jitter + 2.0 * jitter * _uniform(SS))
 
         def rand_dir():
-            return jnp.where(_uniform((1, B)) < 0.5, f32(1.0), f32(-1.0))
+            return jnp.where(_uniform(SS) < 0.5, f32(1.0), f32(-1.0))
 
         # ---- initial state: fresh tree at (q0, g0, logp0) ----
         if flow is not None:
@@ -231,13 +258,14 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             logp0 = logp0_ref[:]
             ld0 = logdet
             qq0 = q0_ref[:]
-        v0 = _normals((dim, B))
-        ke0 = 0.5 * jnp.sum(v0 * v0, 0, keepdims=True)
+        v0 = _normals(VS)
+        ke0 = 0.5 * csum(v0 * v0)
 
-        zb = jnp.zeros((1, B), f32)
-        ib = jnp.zeros((1, B), jnp.int32)
-        rows_s = jax.lax.broadcasted_iota(jnp.int32, (D + 1, 1, B), 0)
-        rows_b2 = jax.lax.broadcasted_iota(jnp.int32, (D + 1, B), 0)
+        zb = jnp.zeros(SS, f32)
+        ib = jnp.zeros(SS, jnp.int32)
+        # stack-row index grid, shaped to mask BOTH the vector stacks
+        # ((D+1,) + VS via broadcast) and the scalar stacks ((D+1,) + SS)
+        rows_s = jax.lax.broadcasted_iota(jnp.int32, (D + 1,) + SS, 0)
 
         carry = dict(
             it=jnp.uint32(1),
@@ -256,23 +284,24 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             dm_q=qq0, dm_ld=ld0,
             ds_z=z0, ds_zg=zg0, ds_logp=logp0, ds_ke=ke0, ds_idx=ib,
             ds_q=qq0, ds_ld=ld0,
-            logw_m=zb, logw_s=jnp.full((1, B), -jnp.inf, f32),
+            logw_m=zb, logw_s=jnp.full(SS, -jnp.inf, f32),
             depth=ib, leaf=ib, direction=rand_dir(),
             # stats accumulators
             n_steps=ib, s_acc=zb, s_sym=zb, mx_err=zb,
-            # checkpoint stacks + cached z.v scalars
-            lz=jnp.zeros((D + 1, dim, B), f32),
-            lv=jnp.zeros((D + 1, dim, B), f32),
-            bl=jnp.zeros((D + 1, B), f32),
-            mz=jnp.zeros((D + 1, dim, B), f32),
-            mv=jnp.zeros((D + 1, dim, B), f32),
-            bm=jnp.zeros((D + 1, B), f32),
+            # checkpoint stacks + cached z.v scalar stacks (3-D so one
+            # rows_s mask shape serves both)
+            lz=jnp.zeros((D + 1,) + VS, f32),
+            lv=jnp.zeros((D + 1,) + VS, f32),
+            bl=jnp.zeros((D + 1,) + SS, f32),
+            mz=jnp.zeros((D + 1,) + VS, f32),
+            mv=jnp.zeros((D + 1,) + VS, f32),
+            bm=jnp.zeros((D + 1,) + SS, f32),
         )
 
         def body(c):
             it_box[0] = c["it"]
-            r_sel = _uniform((1, B))
-            r_acc = _uniform((1, B))
+            r_sel = _uniform(SS)
+            r_acc = _uniform(SS)
             dirf = c["direction"]
             diri = dirf.astype(jnp.int32)
 
@@ -282,7 +311,7 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             z1 = c["e_z"] + eps * v1
             logp1, zg1, ld1, q1 = eval_z(z1)
             v2 = v1 + (eps / 2.0) * zg1
-            ke1 = 0.5 * jnp.sum(v2 * v2, 0, keepdims=True)
+            ke1 = 0.5 * csum(v2 * v2)
             energy1 = ke1 - (logp1 + ld1)
             err = energy1 - c["e_init"]
             diverged = (err > MAX_ERR) | ~jnp.isfinite(err)
@@ -315,18 +344,18 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             ds_ld = jnp.where(take, ld1, c["ds_ld"])
 
             # ---- stack writes (one-hot row masks) ----
-            d1 = jnp.sum(z1 * v2, 0, keepdims=True)
-            row_l = jnp.minimum(_tz(c["leaf"], D), D).reshape(1, 1, B)
-            tzn = _tz(c["leaf"] + 1, D)                       # [1, B]
-            row_m = jnp.minimum(tzn + 1, D).reshape(1, 1, B)
+            d1 = csum(z1 * v2)
+            row_l = jnp.minimum(_tz(c["leaf"], D), D).reshape((1,) + SS)
+            tzn = _tz(c["leaf"] + 1, D)                       # [SS]
+            row_m = jnp.minimum(tzn + 1, D).reshape((1,) + SS)
             mask_l = rows_s == row_l
             mask_m = rows_s == row_m
             lz = jnp.where(mask_l, z1[None], c["lz"])
             lv = jnp.where(mask_l, v2[None], c["lv"])
-            bl = jnp.where(mask_l[:, 0], d1, c["bl"])
+            bl = jnp.where(mask_l, d1, c["bl"])
             mz = jnp.where(mask_m, z1[None], c["mz"])
             mv = jnp.where(mask_m, v2[None], c["mv"])
-            bm = jnp.where(mask_m[:, 0], d1, c["bm"])
+            bm = jnp.where(mask_m, d1, c["bm"])
 
             # ---- U-turn checks ----------------------------------------
             # Static unroll over the D levels with 3-D tensors only: Mosaic
@@ -334,47 +363,40 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             # ~10 ms/iteration; one shape even fails to compile), while the
             # per-level masked-sum gathers below run in sub-microseconds.
             if CHECK:
-                turning_int = jnp.zeros((1, B), bool)
-                tzn_b = tzn  # [1, B]
+                turning_int = jnp.zeros(SS, bool)
+                tzn_b = tzn  # [SS]
 
-                def row_gather(stack, row):  # [D+1, d, B], [1,1,B] -> [d, B]
+                def row_gather(stack, row):  # [D+1]+VS, [1]+SS -> [VS]
                     m = rows_s == row
                     return jnp.sum(jnp.where(m, stack, 0.0), axis=0)
 
-                def row_gather1(vec, row):   # [D+1, B], [1,1,B] -> [1, B]
-                    m = (rows_s == row)[:, 0]
-                    return jnp.sum(jnp.where(m, vec, 0.0), axis=0,
-                                   keepdims=True)
+                def row_gather1(vec, row):   # [D+1]+SS, [1]+SS -> [SS]
+                    m = rows_s == row
+                    return jnp.sum(jnp.where(m, vec, 0.0), axis=0)
 
                 def level_check(j):
                     def compute():
                         s_a = c["leaf"] + 1 - (1 << j)
                         s_b = c["leaf"] + 1 - (1 << (j - 1))
-                        ra = jnp.minimum(_tz(s_a, D), D).reshape(1, 1, B)
+                        ra = jnp.minimum(_tz(s_a, D), D).reshape((1,) + SS)
                         a_z = row_gather(lz, ra)
                         a_v = row_gather(lv, ra)
                         a_b = row_gather1(bl, ra)
                         # t1: (A.first, new)
-                        t1 = ((dirf * (jnp.sum(z1 * a_v, 0, keepdims=True)
-                                       - a_b) < 0)
-                              | (dirf * (d1 - jnp.sum(a_z * v2, 0,
-                                                      keepdims=True)) < 0))
+                        t1 = ((dirf * (csum(z1 * a_v) - a_b) < 0)
+                              | (dirf * (d1 - csum(a_z * v2)) < 0))
                         if j < 2:
                             return t1
-                        rb = jnp.minimum(_tz(s_b, D), D).reshape(1, 1, B)
+                        rb = jnp.minimum(_tz(s_b, D), D).reshape((1,) + SS)
                         b_z = row_gather(lz, rb)
                         b_v = row_gather(lv, rb)
                         b_b = row_gather1(bl, rb)
                         # t2: (midpoint_j, new); mid row j is a static slice
-                        t2 = ((dirf * (jnp.sum(z1 * mv[j], 0, keepdims=True)
-                                       - bm[j:j + 1]) < 0)
-                              | (dirf * (d1 - jnp.sum(mz[j] * v2, 0,
-                                                      keepdims=True)) < 0))
+                        t2 = ((dirf * (csum(z1 * mv[j]) - bm[j]) < 0)
+                              | (dirf * (d1 - csum(mz[j] * v2)) < 0))
                         # t3: (A.first, B.first)
-                        t3 = ((dirf * (jnp.sum(b_z * a_v, 0, keepdims=True)
-                                       - a_b) < 0)
-                              | (dirf * (b_b - jnp.sum(a_z * b_v, 0,
-                                                       keepdims=True)) < 0))
+                        t3 = ((dirf * (csum(b_z * a_v) - a_b) < 0)
+                              | (dirf * (b_b - csum(a_z * b_v)) < 0))
                         return t1 | t2 | t3
 
                     # NOTE: a scalar lax.cond on (j <= max(tzn)) would skip
@@ -387,7 +409,7 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                     turning_int = turning_int | (
                         (j <= tzn_b) & level_check(j))
             else:
-                turning_int = jnp.zeros((1, B), bool)
+                turning_int = jnp.zeros(SS, bool)
 
             subtree_done = (c["leaf"] + 1) == (1 << c["depth"])
 
@@ -397,25 +419,18 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             near_z = jnp.where(fwd, c["p_z"], c["m_z"])
             near_v = jnp.where(fwd, c["p_v"], c["m_v"])
             if CHECK:
-                far_zv = jnp.sum(far_z * far_v, 0, keepdims=True)
-                t_out = ((dirf * (jnp.sum(z1 * far_v, 0, keepdims=True)
-                                  - far_zv) < 0)
-                         | (dirf * (d1 - jnp.sum(far_z * v2, 0,
-                                                 keepdims=True)) < 0))
-                near_zv = jnp.sum(near_z * near_v, 0, keepdims=True)
-                t_nr = ((dirf * (jnp.sum(z1 * near_v, 0, keepdims=True)
-                                 - near_zv) < 0)
-                        | (dirf * (d1 - jnp.sum(near_z * v2, 0,
-                                                keepdims=True)) < 0))
+                far_zv = csum(far_z * far_v)
+                t_out = ((dirf * (csum(z1 * far_v) - far_zv) < 0)
+                         | (dirf * (d1 - csum(far_z * v2)) < 0))
+                near_zv = csum(near_z * near_v)
+                t_nr = ((dirf * (csum(z1 * near_v) - near_zv) < 0)
+                        | (dirf * (d1 - csum(near_z * v2)) < 0))
                 b0_z, b0_v = lz[D], lv[D]
-                t_b0 = ((dirf * (jnp.sum(b0_z * far_v, 0, keepdims=True)
-                                 - far_zv) < 0)
-                        | (dirf * (bl[D:D + 1]
-                                   - jnp.sum(far_z * b0_v, 0,
-                                             keepdims=True)) < 0))
+                t_b0 = ((dirf * (csum(b0_z * far_v) - far_zv) < 0)
+                        | (dirf * (bl[D] - csum(far_z * b0_v)) < 0))
                 turning_top = t_out | ((c["depth"] > 0) & (t_nr | t_b0))
             else:
-                turning_top = jnp.zeros((1, B), bool)
+                turning_top = jnp.zeros(SS, bool)
 
             # ---- top-level merge (biased acceptance) ----
             do_merge = subtree_done & ~diverged & ~turning_int
@@ -449,9 +464,9 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             # ---- emit the draw where the tree finished ----
             fin = tree_done
             energy_m = dm_ke - (dm_logp + dm_ld)
-            fisher = jnp.sum(jnp.square(dm_z + dm_zg), 0, keepdims=True)
-            krows = jax.lax.broadcasted_iota(jnp.int32, (K, 1, B), 0)
-            kmask = fin[None] & (krows == c["dc"].reshape(1, 1, B))
+            fisher = csum(jnp.square(dm_z + dm_zg))
+            krows = jax.lax.broadcasted_iota(jnp.int32, (K,) + SS, 0)
+            kmask = fin[None] & (krows == c["dc"].reshape((1,) + SS))
             out_q_ref[:] = jnp.where(kmask, dm_q[None], out_q_ref[:])
             stats = jnp.concatenate([
                 depth.astype(f32), diverged.astype(f32),
@@ -459,15 +474,15 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 dm_logp, energy_m, energy_m - c["e_init"],
                 dm_idx.astype(f32), fisher, c["step"],
                 (depth >= D).astype(f32),
-            ], axis=0)                                         # [NSTATS, B]
-            out_stats_ref[:] = jnp.where(kmask[:, 0][:, None], stats[None],
+            ], axis=1 if LD else 0)      # [B, NSTATS] (ld) / [NSTATS, B] (cl)
+            out_stats_ref[:] = jnp.where(kmask, stats[None],
                                          out_stats_ref[:])
 
             # ---- next state: fresh draw (fin) / new doubling / same subtree
             new_dir = rand_dir()
             new_doub = do_merge & ~tree_done
-            v_new = _normals((dim, B))
-            ke_new = 0.5 * jnp.sum(v_new * v_new, 0, keepdims=True)
+            v_new = _normals(VS)
+            ke_new = 0.5 * csum(v_new * v_new)
             step_new = fresh_step()
 
             jump_p = new_dir > 0
@@ -546,9 +561,15 @@ def nuts_pallas_run(
     model_args: tuple = (),
     flow=None,
     stream=None,
+    layout: str = "cl",
 ):
     """Launch the fused kernel; returns (q_fin, g_fin, logp_fin, draws, stats)
     with draws [C, K, d] and stats dict of [C, K] arrays.
+
+    ``layout="ld"`` (dim-on-lanes, see make_kernel) keeps arrays in their
+    natural [chains, d] orientation with SMALL chain blocks riding sublanes
+    — the large-d configuration where the chains-on-lanes checkpoint stacks
+    cannot fit VMEM.  flow/stream are chains-on-lanes only.
 
     ``model_args``: arrays the model's logp needs (replicated to every block,
     VMEM-resident — suitable up to a few MB; larger datasets use ``stream``).
@@ -569,13 +590,26 @@ def nuts_pallas_run(
     B = min(block, C)
     assert C % B == 0, (C, B)
     grid = (C // B,)
+    LD = layout == "ld"
+    assert not (LD and (flow is not None or stream is not None))
 
-    def cl(x):  # chains-on-lanes
-        return jnp.asarray(x, jnp.float32).T.reshape(-1, C)
+    if LD:
+        # dim-on-lanes: arrays keep their natural [chains, d] orientation
+        def vec(x):
+            return jnp.asarray(x, jnp.float32)
 
-    q_t, g_t, stds_t, mean_t = cl(q), cl(g), cl(stds), cl(mean)
-    logp_t, logdet_t = cl(logp[:, None]), cl(logdet[:, None])
-    step_t, bar_t = cl(step0[:, None]), cl(step_bar[:, None])
+        def sca(x):
+            return jnp.asarray(x, jnp.float32).reshape(C, 1)
+    else:
+        def vec(x):  # chains-on-lanes
+            return jnp.asarray(x, jnp.float32).T.reshape(-1, C)
+
+        def sca(x):
+            return jnp.asarray(x, jnp.float32).reshape(1, C)
+
+    q_t, g_t, stds_t, mean_t = vec(q), vec(g), vec(stds), vec(mean)
+    logp_t, logdet_t = sca(logp), sca(logdet)
+    step_t, bar_t = sca(step0), sca(step_bar)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
     flow_kernel_arg = None
@@ -608,24 +642,42 @@ def nuts_pallas_run(
     kernel = make_kernel(logp_grad_batched, d, K, opts, jitter,
                          use_hw_prng=not interpret,
                          n_model_args=len(model_args),
-                         flow=flow_kernel_arg, stream=stream_kernel_arg)
+                         flow=flow_kernel_arg, stream=stream_kernel_arg,
+                         layout=layout)
 
-    vspec = lambda r: pl.BlockSpec((r, B), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM)
-    out_shapes = (
-        jax.ShapeDtypeStruct((K, d, C), jnp.float32),       # draws
-        jax.ShapeDtypeStruct((K, NSTATS, C), jnp.float32),  # stats
-        jax.ShapeDtypeStruct((d, C), jnp.float32),          # final q
-        jax.ShapeDtypeStruct((d, C), jnp.float32),          # final g
-        jax.ShapeDtypeStruct((1, C), jnp.float32),          # final logp
-        jax.ShapeDtypeStruct((1, C), jnp.int32),            # loop iterations
-    )
-    out_specs = (
-        pl.BlockSpec((K, d, B), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, NSTATS, B), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
-        vspec(d), vspec(d), vspec(1), vspec(1),
-    )
+    if LD:
+        vspec = lambda r: pl.BlockSpec((B, r), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+        out3 = lambda r: pl.BlockSpec((K, B, r), lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM)
+        out_shapes = (
+            jax.ShapeDtypeStruct((K, C, d), jnp.float32),       # draws
+            jax.ShapeDtypeStruct((K, C, NSTATS), jnp.float32),  # stats
+            jax.ShapeDtypeStruct((C, d), jnp.float32),          # final q
+            jax.ShapeDtypeStruct((C, d), jnp.float32),          # final g
+            jax.ShapeDtypeStruct((C, 1), jnp.float32),          # final logp
+            jax.ShapeDtypeStruct((C, 1), jnp.int32),            # loop iters
+        )
+        out_specs = (out3(d), out3(NSTATS),
+                     vspec(d), vspec(d), vspec(1), vspec(1))
+    else:
+        vspec = lambda r: pl.BlockSpec((r, B), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)
+        out_shapes = (
+            jax.ShapeDtypeStruct((K, d, C), jnp.float32),       # draws
+            jax.ShapeDtypeStruct((K, NSTATS, C), jnp.float32),  # stats
+            jax.ShapeDtypeStruct((d, C), jnp.float32),          # final q
+            jax.ShapeDtypeStruct((d, C), jnp.float32),          # final g
+            jax.ShapeDtypeStruct((1, C), jnp.float32),          # final logp
+            jax.ShapeDtypeStruct((1, C), jnp.int32),            # loop iters
+        )
+        out_specs = (
+            pl.BlockSpec((K, d, B), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, NSTATS, B), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            vspec(d), vspec(d), vspec(1), vspec(1),
+        )
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         vspec(d), vspec(d), vspec(1), vspec(d), vspec(d), vspec(1),
@@ -646,6 +698,12 @@ def nuts_pallas_run(
     )(seed_arr, q_t, g_t, logp_t, stds_t, mean_t, logdet_t, step_t, bar_t,
       *flow_ops, *stream_args, *model_args)
 
+    if LD:
+        draws_out = jnp.swapaxes(draws, 0, 1)               # [C, K, d]
+        stats_out = {name: stats[:, :, i].T
+                     for i, name in enumerate(STAT_NAMES)}
+        stats_out["loop_iterations"] = iters[:, 0]
+        return (q_f, g_f, logp_f[:, 0], draws_out, stats_out)
     draws_out = jnp.moveaxis(draws, 2, 0)                   # [C, K, d]
     stats_out = {name: stats[:, i, :].T for i, name in enumerate(STAT_NAMES)}
     stats_out["loop_iterations"] = iters[0]

@@ -483,11 +483,14 @@ class Sampler:
                 raise ValueError(
                     f"num_chains ({settings.num_chains}) must be a multiple "
                     f"of the chains mesh axis ({n_chain_dev})")
-            if getattr(settings, "posterior_kernel", "sync") != "sync":
+            if (self._dim_sharded
+                    and getattr(settings, "posterior_kernel", "sync")
+                    != "sync"):
                 raise ValueError(
-                    "mesh execution currently requires posterior_kernel="
-                    "'sync' (the async/pallas engines run per chip; shard "
-                    "chains over hosts and run them per device instead)")
+                    "dim-sharded execution requires posterior_kernel='sync' "
+                    "(the fused engines keep full parameter vectors "
+                    "VMEM-resident; parameter-axis psum cannot run inside "
+                    "a pallas_call)")
             if self._dim_sharded:
                 # Parameter-axis sharding (SURVEY.md §5; BASELINE config 5):
                 # state vectors and the kernels' contractions split over the
@@ -599,7 +602,7 @@ class Sampler:
             return jax.jit(wrapped, donate_argnums=0)
 
         if mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             from .parallel.axis import DIM_AXIS, dim_axis_ctx
@@ -652,7 +655,7 @@ class Sampler:
                 return shard_map(
                     body, mesh=mesh, in_specs=(state_specs, P()),
                     out_specs=(state_specs, out_stats_specs),
-                    check_rep=False)
+                    check_vma=False)
         else:
             self._probe_runners = []
 

@@ -409,35 +409,55 @@ class _PallasChainSim:
             self.edge = new
 
 
+@pytest.mark.parametrize("layout", ["cl", "ld"])
 @pytest.mark.parametrize("seed", [0, 7])
-def test_pallas_kernel_matches_naive_multidraw(seed):
+def test_pallas_kernel_matches_naive_multidraw(seed, layout):
+    # Both state layouts of the fused engine replay the same naive builder
+    # bit-for-bit; the murmur3 stream shapes mirror the kernel's (per-chain
+    # scalar sites are flat-order identical between (1,C) and (C,1), vector
+    # sites transpose with the layout).
     from nuts_rs_tpu.kernels.nuts import NutsOptions
 
     dim, C, K = 3, 4, 4
     f32 = jnp.float32
+    LD = layout == "ld"
     MU = 0.5  # scalar: Pallas kernels cannot capture array constants
 
-    def logp_grad_batched(q):  # [d, B] -> ([B], [d, B])
-        return -0.5 * jnp.sum((q - MU) ** 2, axis=0), -(q - MU)
+    if LD:
+        def logp_grad_batched(q):  # [B, d] -> ([B], [B, d])
+            return -0.5 * jnp.sum((q - MU) ** 2, axis=1), -(q - MU)
+    else:
+        def logp_grad_batched(q):  # [d, B] -> ([B], [d, B])
+            return -0.5 * jnp.sum((q - MU) ** 2, axis=0), -(q - MU)
 
     stds = jnp.broadcast_to(jnp.asarray([1.0, 0.5, 2.0], f32), (C, dim))
     mean = jnp.zeros((C, dim), f32)
     logdet = jnp.broadcast_to(jnp.sum(jnp.log(1.0 / stds[0])), (C,))
     rng = np.random.default_rng(seed)
     q0 = jnp.asarray(rng.normal(size=(C, dim)), f32)
-    logp0, g0t = logp_grad_batched(q0.T)
-    g0 = g0t.T
+    logp0 = -0.5 * jnp.sum((q0 - MU) ** 2, axis=1)
+    g0 = -(q0 - MU)
     step = jnp.full((C,), 0.35, f32)
     opts = NutsOptions(maxdepth=5, max_energy_error=1000.0)
 
     q_f, g_f, logp_f, draws, stats = nuts_pallas_run(
         seed, q0, g0, logp0, stds, mean, logdet, step, step, K,
-        logp_grad_batched, opts, jitter=None, block=C, interpret=True)
+        logp_grad_batched, opts, jitter=None, block=C, interpret=True,
+        layout=layout)
 
     # ---- naive lock-step replica ----
+    VSH = (C, dim) if LD else (dim, C)
+    SSH = (C, 1) if LD else (1, C)
+
+    def vcol(x, b):  # per-chain vector from a VSH-shaped site
+        return x[b] if LD else x[:, b]
+
+    def scol(x, b):  # per-chain scalar from an SSH-shaped site
+        return x[b, 0] if LD else x[0, b]
+
     ms = MurmurStream(seed)
-    v0 = ms.normals((dim, C), 0, 1, 2)
-    dir0 = ms.uniform((1, C), 0, 3)
+    v0 = ms.normals(VSH, 0, 1, 2)
+    dir0 = ms.uniform(SSH, 0, 3)
 
     def eval_z_chain(b):
         sb = stds[b].astype(f32)
@@ -455,21 +475,22 @@ def test_pallas_kernel_matches_naive_multidraw(seed):
         z0 = (q0[b] - mean[b]) / stds[b]
         zg0 = g0[b] * stds[b]
         sim = _PallasChainSim(z0.astype(f32), zg0.astype(f32),
-                              float(logp0[b]), v0[:, b], float(logdet[b]),
+                              float(logp0[b]), vcol(v0, b),
+                              float(logdet[b]),
                               float(step[b]), opts, K)
-        sim.direction = 1 if float(dir0[0, b]) < 0.5 else -1
+        sim.direction = 1 if float(scol(dir0, b)) < 0.5 else -1
         sims.append(sim)
 
     it = 0
     while any(len(s.draws) < K for s in sims) and it < 4096:
         it += 1
-        r_sel = ms.uniform((1, C), it, 4)
-        r_acc = ms.uniform((1, C), it, 5)
-        nd = ms.uniform((1, C), it, 6)
-        v_new = ms.normals((dim, C), it, 7, 8)
+        r_sel = ms.uniform(SSH, it, 4)
+        r_acc = ms.uniform(SSH, it, 5)
+        nd = ms.uniform(SSH, it, 6)
+        v_new = ms.normals(VSH, it, 7, 8)
         for b, sim in enumerate(sims):
-            sim.step_iter(r_sel[0, b], r_acc[0, b], nd[0, b], v_new[:, b],
-                          eval_z_chain(b))
+            sim.step_iter(scol(r_sel, b), scol(r_acc, b), scol(nd, b),
+                          vcol(v_new, b), eval_z_chain(b))
 
     for b, sim in enumerate(sims):
         assert len(sim.draws) >= K, b

@@ -57,7 +57,7 @@ def test_merge_running_variance_local():
 
 def test_merge_running_variance_psum():
     # Pooling under shard_map over the mesh must equal local pooling.
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     rng = np.random.default_rng(1)
     d, c = 3, 16
@@ -92,7 +92,7 @@ def test_dryrun_multichip():
 def test_sharded_sampling_matches_unsharded_shapes():
     # Full warmup+sampling with the chain state sharded over the mesh: must
     # run end to end and produce the same shapes/diagnostics as unsharded.
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from nuts_rs_tpu.chain import DiagStrategy, init_chain_state, make_draw_step
     from nuts_rs_tpu.sampler import _schedule_chunk, _schedule_for
@@ -119,7 +119,7 @@ def test_sharded_sampling_matches_unsharded_shapes():
 
     sharded_run = shard_map(
         run, mesh=mesh, in_specs=(specs, P()),
-        out_specs=(specs, P(None, CHAIN_AXIS)), check_rep=False)
+        out_specs=(specs, P(None, CHAIN_AXIS)), check_vma=False)
     final, stats = jax.jit(sharded_run)(state, flags)
 
     assert stats["position"].shape == (64, 16, 6)
