@@ -805,18 +805,53 @@ def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
     D = config.nuts.maxdepth
     args_bytes = 4 * sum(int(np.prod(a.shape)) for a in pallas_args)
     fixed = 6 * (D + 1) * dim + 40 * dim + 8 * dim
-    # Lane blocks must be multiples of 128 (see the posterior runner); None
-    # keeps warmup on the XLA path when the state cannot fit at block 128.
+    # Lane blocks must be multiples of 128 (see the posterior runner).
     tiers = (256, 128) if dim <= 32 else (128,)
     block = None
+    layout = "cl"
     for tier in tiers:
         if 4 * tier * (fixed + 2 * 8 * (dim + 15)) + args_bytes <= 12_000_000:
             block = tier
             break
     if block is None:
+        # Large-d tier: dim-on-lanes layout, mirroring the posterior
+        # runner's ld fallback (chains on sublanes in small blocks; the
+        # checkpoint stacks + estimator planes stay VMEM-resident at d in
+        # the thousands).
+        dim_pad = -(-dim // 128) * 128
+        fixed_ld = (6 * (D + 1) + 48) * dim_pad + 64 * 128
+        for tier in (32, 16, 8):
+            if (4 * tier * (fixed_ld + 2 * 8 * (dim_pad + 128))
+                    + args_bytes <= 12_000_000):
+                block = tier
+                layout = "ld"
+                fixed = fixed_ld
+                break
+    if block is None:
         return None
     budget_words = (13_000_000 - args_bytes) // (4 * block)
-    MAX_K = int(max(8, min(64, (budget_words - fixed) // (2 * (dim + 15)))))
+    if layout == "ld":
+        dim_pad = -(-dim // 128) * 128
+        MAX_K = int(max(8, min(64, (budget_words - fixed)
+                               // (2 * (dim_pad + 128)))))
+        # rebuild the batched eval in [B, d] orientation (the [d, B]
+        # closed-form channel does not apply; see the posterior runner).
+        if model.pallas_spec is not None:
+            logp_fn_args, pallas_args = model.pallas_spec
+
+            def logp_grad_batched(q, *args):  # [B, d] -> ([B], [B, d])
+                f = lambda qq: logp_fn_args(qq, *args)
+                return jax.vmap(jax.value_and_grad(f), in_axes=0,
+                                out_axes=(0, 0))(q)
+        else:
+            pallas_args = ()
+
+            def logp_grad_batched(q):
+                return jax.vmap(model.logp_and_grad, in_axes=0,
+                                out_axes=(0, 0))(q)
+    else:
+        MAX_K = int(max(8, min(64, (budget_words - fixed)
+                               // (2 * (dim + 15)))))
 
     def runner(state: ChainState, flags):
         k = flags["is_tuning"].shape[0]
@@ -872,7 +907,8 @@ def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
                 seed, flag_cols[done:done + kk], q_f, g_f, logp_f,
                 stds_f, mean_f, est_f, sca_f,
                 logp_grad_batched, config.nuts, sset, use_grad_based,
-                interpret=interpret, model_args=pallas_args, block=block)
+                interpret=interpret, model_args=pallas_args, block=block,
+                layout=layout)
             draws_parts.append(dpart)
             out_parts.append(opart)
             done += kk

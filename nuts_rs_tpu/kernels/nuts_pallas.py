@@ -768,15 +768,23 @@ EST_BG_DM, EST_BG_DV, EST_BG_GM, EST_BG_GV = 4, 5, 6, 7
 
 def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                        opts: NutsOptions, sset, use_grad_based: bool,
-                       use_hw_prng: bool = True, n_model_args: int = 0):
+                       use_hw_prng: bool = True, n_model_args: int = 0,
+                       layout: str = "cl"):
     """Warmup kernel body (lock-step draws + in-kernel adaptation).
 
     ``sset`` is the StepSizeSettings (dual-averaging constants + jitter);
     adaptation math mirrors adapt/mass_matrix.py and adapt/step_size.py
     exactly (which in turn mirror nuts-rs diagonal.rs / dual_avg.rs).
+
+    ``layout="ld"`` (dim-on-lanes; see make_kernel) serves the large-d
+    regime where the chains-on-lanes checkpoint stacks cannot fit VMEM:
+    vectors become [B, d], per-chain scalars [B, 1], the packed scalar
+    state [NSCA, B, 1] and the estimator planes [8, B, d].
     """
     import math as _math
 
+    assert layout in ("cl", "ld")
+    LD = layout == "ld"
     D = opts.maxdepth
     MAX_ERR = opts.max_energy_error
     CHECK = bool(opts.check_turning)
@@ -794,7 +802,13 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
          stds_out_ref, mean_out_ref, est_out_ref, sca_out_ref,
          iters_ref) = rest[n_model_args:]
         model_args = tuple(r[:] for r in model_arg_refs)
-        B = q0_ref.shape[1]
+        B = q0_ref.shape[0] if LD else q0_ref.shape[1]
+        VS = (B, dim) if LD else (dim, B)
+        SS = (B, 1) if LD else (1, B)
+
+        def csum(x):
+            """Per-chain contraction along the layout's reduction axis."""
+            return jnp.sum(x, 1 if LD else 0, keepdims=True)
         if use_hw_prng:
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         seed_u32 = (seed_ref[0, 0].astype(jnp.uint32)
@@ -816,27 +830,32 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
             u2 = _uniform(shape)
             return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
 
-        rows_s = jax.lax.broadcasted_iota(jnp.int32, (D + 1, 1, B), 0)
-        # Non-replicated [1, B] zeros for loop-carry inits.  jnp.zeros is a
+        rows_s = jax.lax.broadcasted_iota(jnp.int32, (D + 1,) + SS, 0)
+        # Non-replicated [SS] zeros for loop-carry inits.  jnp.zeros is a
         # splat constant that Mosaic lays out replicated ({*,*} / {*,0});
         # inside the nested tree while_loop the body produces genuinely
         # per-lane values, and the carry relayout concrete -> replicated is
         # rejected ("Invalid relayout ... replicated in destination but not
         # in source" / "Not implemented: Sublane broadcast").  A value
         # varying along BOTH sublanes and lanes (sum of the two iotas) gets
-        # the concrete {0,0} layout; row 0 clamped to zero keeps it.  (A
-        # plain sublane iota stays lane-replicated {0,*}; a 1-row lane iota
-        # stays sublane-replicated {*,0} — neither unifies with the
+        # the concrete {0,0} layout; row/column 0 clamped to zero keeps it.
+        # (A plain sublane iota stays lane-replicated {0,*}; a 1-row lane
+        # iota stays sublane-replicated {*,0} — neither unifies with the
         # per-lane values the loop body produces.)
-        _mix = (jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
-                + jax.lax.broadcasted_iota(jnp.int32, (8, B), 1))
-        ib = jnp.minimum(_mix[0:1], 0)
+        if LD:
+            _mix = (jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
+                    + jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1))
+            ib = jnp.minimum(_mix[:, 0:1], 0)
+        else:
+            _mix = (jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
+                    + jax.lax.broadcasted_iota(jnp.int32, (8, B), 1))
+            ib = jnp.minimum(_mix[0:1], 0)
         zb = ib.astype(f32)
 
         def eval_z(z, stds, mean):
             q = z * stds + mean
             logp, g = logp_grad_batched(q, *model_args)
-            return logp.reshape(1, B), g * stds
+            return logp.reshape(SS), g * stds
 
         # ---- outer carry: q-space chain state + adaptation state ----
         # sca ships as [NSCA, 1, B] (rank-3): per-scalar reads index the
@@ -877,8 +896,8 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
             z0 = (o["q"] - mean) / stds
             zg0 = o["g"] * stds
             logp0 = o["logp"]
-            v0 = _normals((dim, B))
-            ke0 = 0.5 * jnp.sum(v0 * v0, 0, keepdims=True)
+            v0 = _normals(VS)
+            ke0 = 0.5 * csum(v0 * v0)
             e_init = ke0 - (logp0 + logdet)
 
             # done/div/turn carried as i32 0/1: Mosaic cannot round-trip
@@ -897,22 +916,22 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 ds_z=z0, ds_zg=zg0, ds_logp=logp0, ds_ke=ke0, ds_idx=ib,
                 logw_m=zb, logw_s=zb + f32(-jnp.inf),
                 depth=ib, leaf=ib,
-                direction=jnp.where(_uniform((1, B)) < 0.5, f32(1.0),
+                direction=jnp.where(_uniform(SS) < 0.5, f32(1.0),
                                     f32(-1.0)),
                 n_steps=ib, s_acc=zb, s_sym=zb, mx_err=zb,
-                lz=jnp.zeros((D + 1, dim, B), f32),
-                lv=jnp.zeros((D + 1, dim, B), f32),
-                bl=jnp.zeros((D + 1, B), f32),
-                mz=jnp.zeros((D + 1, dim, B), f32),
-                mv=jnp.zeros((D + 1, dim, B), f32),
-                bm=jnp.zeros((D + 1, B), f32),
+                lz=jnp.zeros((D + 1,) + VS, f32),
+                lv=jnp.zeros((D + 1,) + VS, f32),
+                bl=jnp.zeros((D + 1,) + SS, f32),
+                mz=jnp.zeros((D + 1,) + VS, f32),
+                mv=jnp.zeros((D + 1,) + VS, f32),
+                bm=jnp.zeros((D + 1,) + SS, f32),
             )
 
             def tree_body(c):
                 it_box[0] = c["it"]
-                act = c["done"] == 0                  # [1, B] chains still working
-                r_sel = _uniform((1, B))
-                r_acc = _uniform((1, B))
+                act = c["done"] == 0                  # [SS] chains still working
+                r_sel = _uniform(SS)
+                r_acc = _uniform(SS)
                 dirf = c["direction"]
                 diri = dirf.astype(jnp.int32)
 
@@ -921,7 +940,7 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 z1 = c["e_z"] + eps * v1
                 logp1, zg1 = eval_z(z1, stds, mean)
                 v2 = v1 + (eps / 2.0) * zg1
-                ke1 = 0.5 * jnp.sum(v2 * v2, 0, keepdims=True)
+                ke1 = 0.5 * csum(v2 * v2)
                 energy1 = ke1 - (logp1 + logdet)
                 err = energy1 - e_init
                 diverged = act & ((err > MAX_ERR) | ~jnp.isfinite(err))
@@ -953,74 +972,68 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 ds_ke = jnp.where(take, ke1, c["ds_ke"])
                 ds_idx = jnp.where(take, idx1, c["ds_idx"])
 
-                d1 = jnp.sum(z1 * v2, 0, keepdims=True)
-                row_l = jnp.minimum(_tz(c["leaf"], D), D).reshape(1, 1, B)
+                d1 = csum(z1 * v2)
+                row_l = jnp.minimum(_tz(c["leaf"], D), D).reshape((1,) + SS)
                 tzn = _tz(c["leaf"] + 1, D)
-                row_m = jnp.minimum(tzn + 1, D).reshape(1, 1, B)
+                row_m = jnp.minimum(tzn + 1, D).reshape((1,) + SS)
                 mask_l = (rows_s == row_l) & act[None]
                 mask_m = (rows_s == row_m) & act[None]
                 lz = jnp.where(mask_l, z1[None], c["lz"])
                 lv = jnp.where(mask_l, v2[None], c["lv"])
-                bl = jnp.where(mask_l[:, 0], d1, c["bl"])
+                bl = jnp.where(mask_l, d1, c["bl"])
                 mz = jnp.where(mask_m, z1[None], c["mz"])
                 mv = jnp.where(mask_m, v2[None], c["mv"])
-                bm = jnp.where(mask_m[:, 0], d1, c["bm"])
+                bm = jnp.where(mask_m, d1, c["bm"])
 
                 if CHECK:
-                    turning_int = jnp.zeros((1, B), bool)
+                    turning_int = jnp.zeros(SS, bool)
 
                     def row_gather(stack, row):
                         m = rows_s == row
                         return jnp.sum(jnp.where(m, stack, 0.0), axis=0)
 
                     def row_gather1(vec, row):
-                        # [D+1, B] gathered by per-lane row index.  NOT a
+                        # [D+1]+SS gathered by per-chain row index.  NOT a
                         # masked axis-0 jnp.sum: in this kernel the while
                         # carry gives `vec` a nonzero sublane-offset layout
                         # and Mosaic rejects sublane reductions over offset
                         # layouts ("input layout must have zero offsets over
                         # dimensions that are being reduced").  An unrolled
-                        # select-accumulate over static [1, B] row slices is
+                        # select-accumulate over static [SS] row slices is
                         # layout-agnostic (elementwise ops only); D+1 ≤ 11
                         # rows keep the unroll tiny.
-                        r2 = row[0]                      # [1, B]
-                        out = jnp.zeros((1, B), f32)
+                        r2 = row[0]                      # [SS]
+                        out = jnp.zeros(SS, f32)
                         for i in range(D + 1):
-                            out = out + jnp.where(r2 == i, vec[i:i + 1], 0.0)
+                            out = out + jnp.where(r2 == i, vec[i], 0.0)
                         return out
 
                     def level_check(j):
                         s_a = c["leaf"] + 1 - (1 << j)
                         s_b = c["leaf"] + 1 - (1 << (j - 1))
-                        ra = jnp.minimum(_tz(s_a, D), D).reshape(1, 1, B)
+                        ra = jnp.minimum(_tz(s_a, D), D).reshape((1,) + SS)
                         a_z = row_gather(lz, ra)
                         a_v = row_gather(lv, ra)
                         a_b = row_gather1(bl, ra)
-                        t1 = ((dirf * (jnp.sum(z1 * a_v, 0, keepdims=True)
-                                       - a_b) < 0)
-                              | (dirf * (d1 - jnp.sum(a_z * v2, 0,
-                                                      keepdims=True)) < 0))
+                        t1 = ((dirf * (csum(z1 * a_v) - a_b) < 0)
+                              | (dirf * (d1 - csum(a_z * v2)) < 0))
                         if j < 2:
                             return t1
-                        rb = jnp.minimum(_tz(s_b, D), D).reshape(1, 1, B)
+                        rb = jnp.minimum(_tz(s_b, D), D).reshape((1,) + SS)
                         b_z = row_gather(lz, rb)
                         b_v = row_gather(lv, rb)
                         b_b = row_gather1(bl, rb)
-                        t2 = ((dirf * (jnp.sum(z1 * mv[j], 0, keepdims=True)
-                                       - bm[j:j + 1]) < 0)
-                              | (dirf * (d1 - jnp.sum(mz[j] * v2, 0,
-                                                      keepdims=True)) < 0))
-                        t3 = ((dirf * (jnp.sum(b_z * a_v, 0, keepdims=True)
-                                       - a_b) < 0)
-                              | (dirf * (b_b - jnp.sum(a_z * b_v, 0,
-                                                       keepdims=True)) < 0))
+                        t2 = ((dirf * (csum(z1 * mv[j]) - bm[j]) < 0)
+                              | (dirf * (d1 - csum(mz[j] * v2)) < 0))
+                        t3 = ((dirf * (csum(b_z * a_v) - a_b) < 0)
+                              | (dirf * (b_b - csum(a_z * b_v)) < 0))
                         return t1 | t2 | t3
 
                     for j in range(1, D + 1):
                         turning_int = turning_int | ((j <= tzn) & level_check(j))
                     turning_int = turning_int & act
                 else:
-                    turning_int = jnp.zeros((1, B), bool)
+                    turning_int = jnp.zeros(SS, bool)
 
                 subtree_done = (c["leaf"] + 1) == (1 << c["depth"])
                 fwd = dirf > 0
@@ -1029,25 +1042,18 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 near_z = jnp.where(fwd, c["p_z"], c["m_z"])
                 near_v = jnp.where(fwd, c["p_v"], c["m_v"])
                 if CHECK:
-                    far_zv = jnp.sum(far_z * far_v, 0, keepdims=True)
-                    t_out = ((dirf * (jnp.sum(z1 * far_v, 0, keepdims=True)
-                                      - far_zv) < 0)
-                             | (dirf * (d1 - jnp.sum(far_z * v2, 0,
-                                                     keepdims=True)) < 0))
-                    near_zv = jnp.sum(near_z * near_v, 0, keepdims=True)
-                    t_nr = ((dirf * (jnp.sum(z1 * near_v, 0, keepdims=True)
-                                     - near_zv) < 0)
-                            | (dirf * (d1 - jnp.sum(near_z * v2, 0,
-                                                    keepdims=True)) < 0))
+                    far_zv = csum(far_z * far_v)
+                    t_out = ((dirf * (csum(z1 * far_v) - far_zv) < 0)
+                             | (dirf * (d1 - csum(far_z * v2)) < 0))
+                    near_zv = csum(near_z * near_v)
+                    t_nr = ((dirf * (csum(z1 * near_v) - near_zv) < 0)
+                            | (dirf * (d1 - csum(near_z * v2)) < 0))
                     b0_z, b0_v = lz[D], lv[D]
-                    t_b0 = ((dirf * (jnp.sum(b0_z * far_v, 0, keepdims=True)
-                                     - far_zv) < 0)
-                            | (dirf * (bl[D:D + 1]
-                                       - jnp.sum(far_z * b0_v, 0,
-                                                 keepdims=True)) < 0))
+                    t_b0 = ((dirf * (csum(b0_z * far_v) - far_zv) < 0)
+                            | (dirf * (bl[D] - csum(far_z * b0_v)) < 0))
                     turning_top = t_out | ((c["depth"] > 0) & (t_nr | t_b0))
                 else:
-                    turning_top = jnp.zeros((1, B), bool)
+                    turning_top = jnp.zeros(SS, bool)
 
                 do_merge = act & subtree_done & ~diverged & ~turning_int
                 take_s = (logw_s >= c["logw_m"]) | (
@@ -1076,7 +1082,7 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 turned = turning_int | (do_merge & turning_top)
                 tree_done = act & (diverged | turned | (depth >= D))
 
-                new_dir = jnp.where(_uniform((1, B)) < 0.5, f32(1.0),
+                new_dir = jnp.where(_uniform(SS) < 0.5, f32(1.0),
                                     f32(-1.0))
                 new_doub = do_merge & (depth < D) & ~turned
                 jump_p = new_dir > 0
@@ -1161,7 +1167,7 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 return (jnp.where(f_switch, bgv, fgv),
                         jnp.where(f_switch, zero, bgv))
 
-            zd = jnp.zeros((dim, B), f32)
+            zd = jnp.zeros(VS, f32)
             fg_dm, bg_dm = sw(fg_dm, bg_dm, zd)
             fg_dv, bg_dv = sw(fg_dv, bg_dv, zd)
             fg_gm, bg_gm = sw(fg_gm, bg_gm, zd)
@@ -1187,7 +1193,7 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 new_mean = fg_dm
             stds_n = jnp.where(enough, new_stds, stds)
             mean_n = jnp.where(enough, new_mean, mean)
-            logdet_n = -jnp.sum(jnp.log(stds_n), 0, keepdims=True)
+            logdet_n = -csum(jnp.log(stds_n))
             tid_n = sca[SCA_TID] + jnp.where(enough, 1.0, 0.0)
 
             # ---- dual averaging (step_size.py::advance, exact) ----
@@ -1214,15 +1220,14 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
             # ---- next step size: current (or best guess) + jitter ----
             base = jnp.exp(jnp.where(f_use_best, da_lsa, da_ls))
             if jitter is not None:
-                base = base * (1.0 - jitter + 2.0 * jitter * _uniform((1, B)))
+                base = base * (1.0 - jitter + 2.0 * jitter * _uniform(SS))
             bar = jnp.exp(da_lsa)
 
             # ---- emit stats row i (post-adaptation values, matching the
             # XLA path in chain.py::make_draw_step) ----
             energy_m = t["dm_ke"] - (t["dm_logp"] + logdet)
-            fisher = jnp.sum(jnp.square(t["dm_z"] + t["dm_zg"]), 0,
-                             keepdims=True)
-            krows = jax.lax.broadcasted_iota(jnp.int32, (K, 1, B), 0)
+            fisher = csum(jnp.square(t["dm_z"] + t["dm_zg"]))
+            krows = jax.lax.broadcasted_iota(jnp.int32, (K,) + SS, 0)
             kmask = krows == i
             out_q_ref[:] = jnp.where(kmask, dm_q[None], out_q_ref[:])
             stats = jnp.concatenate([
@@ -1231,8 +1236,8 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 t["dm_logp"], energy_m, energy_m - e_init,
                 t["dm_idx"].astype(f32), fisher, base,
                 (t["depth"] >= D).astype(f32), bar, tid_n,
-            ], axis=0)
-            out_stats_ref[:] = jnp.where(kmask[:, 0][:, None], stats[None],
+            ], axis=1 if LD else 0)
+            out_stats_ref[:] = jnp.where(kmask, stats[None],
                                          out_stats_ref[:])
 
             sca_n = jnp.stack([
@@ -1293,65 +1298,110 @@ def nuts_pallas_warmup_run(
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
     model_args: tuple = (),
+    layout: str = "cl",
 ):
     """Launch the fused warmup kernel for K = flags.shape[0] draws.
 
     Returns (q_f, g_f, logp_f, stds_f, mean_f, est_f, sca_f, draws, stats)
     with draws [C, K, d] and stats a dict of [C, K] arrays keyed by
-    WARMUP_STAT_NAMES."""
+    WARMUP_STAT_NAMES.  ``layout="ld"`` (dim-on-lanes) serves large d —
+    see nuts_pallas_run."""
     C, d = q.shape
     K = flags.shape[0]
     B = min(block, C)
     assert C % B == 0, (C, B)
     grid = (C // B,)
+    LD = layout == "ld"
 
-    def cl(x):
-        return jnp.asarray(x, jnp.float32).T.reshape(-1, C)
+    if LD:
+        def vec(x):
+            return jnp.asarray(x, jnp.float32)
 
-    q_t, g_t, stds_t, mean_t = cl(q), cl(g), cl(stds), cl(mean)
-    logp_t = cl(logp[:, None])
-    est_t = jnp.moveaxis(jnp.asarray(est, jnp.float32), 0, -1)   # [8, d, C]
-    # [NSCA, 1, C]: rank-3 so in-kernel per-scalar reads index the untiled
-    # leading axis (offset-free [1, B] vectors; see make_warmup_kernel).
-    sca_t = jnp.asarray(sca, jnp.float32).T[:, None, :]
+        def sca2(x):
+            return jnp.asarray(x, jnp.float32).reshape(C, 1)
+
+        est_t = jnp.moveaxis(jnp.asarray(est, jnp.float32), 0, 1)  # [8, C, d]
+        # [NSCA, C, 1]: rank-3 so per-scalar reads index the untiled leading
+        # axis (offset-free [B, 1] vectors; see make_warmup_kernel).
+        sca_t = jnp.asarray(sca, jnp.float32).T[:, :, None]
+    else:
+        def vec(x):
+            return jnp.asarray(x, jnp.float32).T.reshape(-1, C)
+
+        def sca2(x):
+            return jnp.asarray(x, jnp.float32).reshape(1, C)
+
+        est_t = jnp.moveaxis(jnp.asarray(est, jnp.float32), 0, -1)  # [8, d, C]
+        # [NSCA, 1, C]: rank-3 so in-kernel per-scalar reads index the
+        # untiled leading axis (offset-free [1, B] vectors).
+        sca_t = jnp.asarray(sca, jnp.float32).T[:, None, :]
+
+    q_t, g_t, stds_t, mean_t = vec(q), vec(g), vec(stds), vec(mean)
+    logp_t = sca2(logp)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
     model_args = tuple(jnp.asarray(a, jnp.float32) for a in model_args)
     kernel = make_warmup_kernel(
         logp_grad_batched, d, K, opts, sset, use_grad_based,
-        use_hw_prng=not interpret, n_model_args=len(model_args))
+        use_hw_prng=not interpret, n_model_args=len(model_args),
+        layout=layout)
 
-    vspec = lambda r: pl.BlockSpec((r, B), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM)
-    e3 = pl.BlockSpec((8, d, B), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    out_shapes = (
-        jax.ShapeDtypeStruct((K, d, C), jnp.float32),         # draws
-        jax.ShapeDtypeStruct((K, NSTATS_W, C), jnp.float32),  # stats
-        jax.ShapeDtypeStruct((d, C), jnp.float32),            # final q
-        jax.ShapeDtypeStruct((d, C), jnp.float32),            # final g
-        jax.ShapeDtypeStruct((1, C), jnp.float32),            # final logp
-        jax.ShapeDtypeStruct((d, C), jnp.float32),            # stds
-        jax.ShapeDtypeStruct((d, C), jnp.float32),            # mean
-        jax.ShapeDtypeStruct((8, d, C), jnp.float32),         # est
-        jax.ShapeDtypeStruct((NSCA, 1, C), jnp.float32),      # sca
-        jax.ShapeDtypeStruct((1, C), jnp.int32),              # iterations
-    )
-    out_specs = (
-        pl.BlockSpec((K, d, B), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, NSTATS_W, B), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
-        vspec(d), vspec(d), vspec(1), vspec(d), vspec(d), e3,
-        pl.BlockSpec((NSCA, 1, B), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
-        vspec(1),
-    )
+    if LD:
+        vspec = lambda r: pl.BlockSpec((B, r), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+        out3 = lambda n, r: pl.BlockSpec((n, B, r), lambda i: (0, i, 0),
+                                         memory_space=pltpu.VMEM)
+        e3 = out3(8, d)
+        sca_spec = out3(NSCA, 1)
+        out_shapes = (
+            jax.ShapeDtypeStruct((K, C, d), jnp.float32),         # draws
+            jax.ShapeDtypeStruct((K, C, NSTATS_W), jnp.float32),  # stats
+            jax.ShapeDtypeStruct((C, d), jnp.float32),            # final q
+            jax.ShapeDtypeStruct((C, d), jnp.float32),            # final g
+            jax.ShapeDtypeStruct((C, 1), jnp.float32),            # final logp
+            jax.ShapeDtypeStruct((C, d), jnp.float32),            # stds
+            jax.ShapeDtypeStruct((C, d), jnp.float32),            # mean
+            jax.ShapeDtypeStruct((8, C, d), jnp.float32),         # est
+            jax.ShapeDtypeStruct((NSCA, C, 1), jnp.float32),      # sca
+            jax.ShapeDtypeStruct((C, 1), jnp.int32),              # iterations
+        )
+        out_specs = (out3(K, d), out3(K, NSTATS_W),
+                     vspec(d), vspec(d), vspec(1), vspec(d), vspec(d), e3,
+                     sca_spec, vspec(1))
+    else:
+        vspec = lambda r: pl.BlockSpec((r, B), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)
+        e3 = pl.BlockSpec((8, d, B), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+        sca_spec = pl.BlockSpec((NSCA, 1, B), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+        out_shapes = (
+            jax.ShapeDtypeStruct((K, d, C), jnp.float32),         # draws
+            jax.ShapeDtypeStruct((K, NSTATS_W, C), jnp.float32),  # stats
+            jax.ShapeDtypeStruct((d, C), jnp.float32),            # final q
+            jax.ShapeDtypeStruct((d, C), jnp.float32),            # final g
+            jax.ShapeDtypeStruct((1, C), jnp.float32),            # final logp
+            jax.ShapeDtypeStruct((d, C), jnp.float32),            # stds
+            jax.ShapeDtypeStruct((d, C), jnp.float32),            # mean
+            jax.ShapeDtypeStruct((8, d, C), jnp.float32),         # est
+            jax.ShapeDtypeStruct((NSCA, 1, C), jnp.float32),      # sca
+            jax.ShapeDtypeStruct((1, C), jnp.int32),              # iterations
+        )
+        out_specs = (
+            pl.BlockSpec((K, d, B), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, NSTATS_W, B), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            vspec(d), vspec(d), vspec(1), vspec(d), vspec(d), e3,
+            sca_spec,
+            vspec(1),
+        )
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((K, NFLAGS), lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
         vspec(d), vspec(d), vspec(1), vspec(d), vspec(d), e3,
-        pl.BlockSpec((NSCA, 1, B), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
+        sca_spec,
     ] + [
         pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
                      memory_space=pltpu.VMEM)
@@ -1368,6 +1418,14 @@ def nuts_pallas_warmup_run(
     )(seed_arr, jnp.asarray(flags, jnp.int32), q_t, g_t, logp_t, stds_t,
       mean_t, est_t, sca_t, *model_args)
 
+    if LD:
+        draws_out = jnp.swapaxes(draws, 0, 1)                 # [C, K, d]
+        stats_out = {name: stats[:, :, i].T
+                     for i, name in enumerate(WARMUP_STAT_NAMES)}
+        stats_out["loop_iterations"] = iters[:, 0]
+        return (q_f, g_f, logp_f[:, 0], stds_f, mean_f,
+                jnp.moveaxis(est_f, 1, 0), sca_f[:, :, 0].T, draws_out,
+                stats_out)
     draws_out = jnp.moveaxis(draws, 2, 0)                     # [C, K, d]
     stats_out = {name: stats[:, i, :].T
                  for i, name in enumerate(WARMUP_STAT_NAMES)}

@@ -64,6 +64,17 @@ def test_mesh_pallas_streams_decorrelated_across_devices():
                 f"chains {i} and {j} replay the same stream")
 
 
+def test_mesh_mclmc_posterior():
+    # MCLMC's phase runners are sync scans; they must compose with the mesh
+    # like the NUTS engines do.
+    trace = nt.sample(gaussian.normal_logp(4, MU),
+                      nt.DiagMclmcSettings(num_tune=300, num_draws=400,
+                                           num_chains=16, seed=0),
+                      mesh=make_mesh())
+    pos = np.asarray(trace.posterior["position"])
+    assert abs(pos.mean() - MU) < 0.25
+
+
 def test_mesh_pallas_matches_unmeshed_statistics():
     # Same settings with and without the mesh: distributions must agree
     # (streams differ by construction — compare moments, not draws).
