@@ -4,8 +4,13 @@ Why this exists: profiling the XLA formulation at 1024 chains showed the
 while-loop carry (~70 tensors, lane-padded [C, d] -> [C, 128]) round-trips
 ~80 MB of HBM on EVERY leapfrog iteration (~160 us), dwarfing the actual
 compute (~3 us).  This kernel keeps the entire sampler state resident in
-VMEM with a chains-on-lanes [d, B] layout and runs a multi-draw loop inside
-ONE ``pallas_call`` — HBM is touched once per call, not per iteration.
+VMEM and runs a multi-draw loop inside ONE ``pallas_call`` — HBM is touched
+once per call, not per iteration.  Two state layouts share the same tree
+logic (``layout=`` on make_kernel / the launchers): chains-on-lanes [d, B]
+for small/medium d (lanes fully occupied by chains at B >= 128), and
+dim-on-lanes [B, d] for large d (chains on sublanes in blocks of 8-32; the
+checkpoint stacks stay VMEM-resident at d in the thousands — the
+reference's ``sample_1000_1000`` regime).
 
 Scope (the sampler falls back to the XLA kernels otherwise):
 * diagonal affine transform, Euclidean kinetic energy, mindepth 0, no

@@ -856,6 +856,13 @@ class Sampler:
     def inspect(self):
         return self.trace.inspect()
 
+    def flush(self) -> None:
+        """Force buffered trace chunks to storage without consuming them
+        (nuts-rs ``Sampler`` flush command, src/sampler.rs:1231-1244)."""
+        flush = getattr(self.trace, "flush", None)
+        if flush is not None:
+            flush()
+
 
 def sample(
     model: Model,

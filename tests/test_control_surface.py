@@ -121,3 +121,28 @@ def test_zarr_inspect_partial(tmp_path):
     full = read_array(os.path.join(path, "posterior", "position"))
     assert full.shape == (2, 50, 3)
     assert np.isfinite(full).all()
+
+
+def test_flush_forces_buffered_chunks(tmp_path):
+    # Sampler.flush mirrors the reference controller's flush command
+    # (src/sampler.rs:1231-1244): buffered rows land in storage mid-run
+    # without being consumed.
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian
+    from nuts_rs_tpu.storage.zarr import ZarrConfig
+
+    sam = nt.Sampler(gaussian.normal_logp(3, 1.0),
+                     nt.DiagNutsSettings(num_tune=30, num_draws=20,
+                                         num_chains=2, seed=0),
+                     storage=ZarrConfig(str(tmp_path / "t.zarr"),
+                                        chunk_draws=10),
+                     chunk_size=25)
+    sam.run_next_chunk()   # 25 draws seen by storage
+    sam.flush()            # forces the two FULL 10-draw chunks to disk
+    # (the 5-row partial tail stays buffered until finalize — zarr chunk
+    # files are write-once, matching the reference's flush semantics)
+    snap = sam.inspect()
+    assert snap["warmup_posterior"]["position"].shape[1] == 20
+    while not sam.finished:
+        sam.run_next_chunk()
+    sam.trace.finalize()
