@@ -468,20 +468,30 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
 
             # ---- emit the draw where the tree finished ----
             fin = tree_done
-            energy_m = dm_ke - (dm_logp + dm_ld)
-            fisher = csum(jnp.square(dm_z + dm_zg))
-            krows = jax.lax.broadcasted_iota(jnp.int32, (K,) + SS, 0)
-            kmask = fin[None] & (krows == c["dc"].reshape((1,) + SS))
-            out_q_ref[:] = jnp.where(kmask, dm_q[None], out_q_ref[:])
-            stats = jnp.concatenate([
-                depth.astype(f32), diverged.astype(f32),
-                n_steps.astype(f32), s_acc, s_sym, mx_err,
-                dm_logp, energy_m, energy_m - c["e_init"],
-                dm_idx.astype(f32), fisher, c["step"],
-                (depth >= D).astype(f32),
-            ], axis=1 if LD else 0)      # [B, NSTATS] (ld) / [NSTATS, B] (cl)
-            out_stats_ref[:] = jnp.where(kmask, stats[None],
-                                         out_stats_ref[:])
+
+            # Emission is gated on "some chain finished a draw THIS
+            # iteration": the masked read-modify-write touches the whole
+            # [K, ...] output block (the dominant per-iteration VMEM
+            # traffic), but with trees averaging 2^depth leapfrogs only a
+            # small fraction of iterations emit anything.  pl.when lowers
+            # to a result-free scf.if (side-effecting ref stores only),
+            # which Mosaic legalizes — unlike value-returning conds.
+            @pl.when(jnp.any(fin))
+            def _emit():
+                energy_m = dm_ke - (dm_logp + dm_ld)
+                fisher = csum(jnp.square(dm_z + dm_zg))
+                krows = jax.lax.broadcasted_iota(jnp.int32, (K,) + SS, 0)
+                kmask = fin[None] & (krows == c["dc"].reshape((1,) + SS))
+                out_q_ref[:] = jnp.where(kmask, dm_q[None], out_q_ref[:])
+                stats = jnp.concatenate([
+                    depth.astype(f32), diverged.astype(f32),
+                    n_steps.astype(f32), s_acc, s_sym, mx_err,
+                    dm_logp, energy_m, energy_m - c["e_init"],
+                    dm_idx.astype(f32), fisher, c["step"],
+                    (depth >= D).astype(f32),
+                ], axis=1 if LD else 0)  # [B, NSTATS] (ld) / [NSTATS, B] (cl)
+                out_stats_ref[:] = jnp.where(kmask, stats[None],
+                                             out_stats_ref[:])
 
             # ---- next state: fresh draw (fin) / new doubling / same subtree
             new_dir = rand_dir()
