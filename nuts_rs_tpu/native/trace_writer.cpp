@@ -9,11 +9,11 @@
 // C ABI for ctypes; no Python.h dependency.
 //
 // Scope note vs the reference: async_impl.rs targets any tokio object_store
-// (local FS, S3, GCS, ...).  This writer targets the LOCAL filesystem only —
-// on TPU pods the deployment pattern is per-host local/NFS writes (each host
-// writes its own chains' chunks); object-store upload is an external sync
-// step (gsutil/rclone) rather than a sampler concern.  A cloud-store hook
-// would slot in at write_file() if ever needed.
+// (local FS, S3, GCS, ...).  This NATIVE writer targets the local
+// filesystem (fast fd writes off the sampler thread); object-store URLs
+// (memory://, s3://, ...) are handled by the Python layer through fsspec
+// instead (storage/zarr_format.py) — ZarrConfig("s3://...") routes every
+// chunk through the protocol's fsspec driver and skips this writer.
 
 #include <condition_variable>
 #include <cstdint>

@@ -29,7 +29,8 @@ from typing import Any, Dict, List, Mapping, Optional
 import numpy as np
 
 from .core import StorageConfig, TraceStorage
-from .zarr_format import ZarrGroup
+from .zarr_format import ZarrGroup, is_url_path
+from .zarr_format import _join as zarr_join
 
 _POSTERIOR_KEYS = ("position",)
 
@@ -111,9 +112,12 @@ class ZarrStorage(TraceStorage):
                  max_queued_writes: int = 64, writer_threads: int = 2):
         self.path = path
         self._writer = None
-        if async_writes:
+        if async_writes and not is_url_path(path):
             # Native async writer (C++ worker pool with bounded queue); falls
             # back silently to synchronous Python writes if g++ is missing.
+            # Object-store URLs (fsspec: memory://, s3://, ...) write
+            # synchronously through fsspec — the C++ writer works on local
+            # file descriptors.
             from ..native import AsyncTraceWriter, native_available
 
             if native_available():
@@ -159,7 +163,7 @@ class ZarrStorage(TraceStorage):
                 # as fixed-length unicode arrays.
                 arr = arr.astype(str)
             for key in ("posterior", "warmup_posterior"):
-                ZarrGroup(os.path.join(self.path, key)).write_full_array(
+                ZarrGroup(zarr_join(self.path, key)).write_full_array(
                     name, arr, dims=[name])
 
     def _dims_for(self, name, sample):
@@ -239,7 +243,7 @@ class ZarrStorage(TraceStorage):
         for ev_name, events in self._events.items():
             if not events:
                 continue
-            group = ZarrGroup(os.path.join(self.path, "sample_stats"))
+            group = ZarrGroup(zarr_join(self.path, "sample_stats"))
             # ragged -> (chain, event) arrays padded to the max event count
             per_chain: List[List[dict]] = [[] for _ in range(self.num_chains)]
             for ev in events:
@@ -289,7 +293,7 @@ class ZarrStorage(TraceStorage):
             gname = ("warmup_" if is_warm else "") + kind
             out: Dict[str, np.ndarray] = {}
             for name in buf.arrays:
-                arr = read_array(os.path.join(self.path, gname, name))
+                arr = read_array(zarr_join(self.path, gname, name))
                 out[name] = arr[:, :buf.written]
             snapshot[gname] = out
         return snapshot

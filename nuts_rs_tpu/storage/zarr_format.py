@@ -6,6 +6,12 @@ Python package, so we emit the (simple, stable) Zarr v2 on-disk format
 directly: per-group ``.zgroup``/``.zattrs`` JSON, per-array ``.zarray``
 metadata, and C-order chunk files named ``i.j.k``, zlib-compressed
 (readable by zarr-python with the standard ``zlib`` codec).
+
+Paths containing ``://`` route through ``fsspec`` (``memory://``,
+``s3://`` with s3fs installed, ...) — the object-store counterpart of the
+reference's async zarr backend (``src/storage/zarr/async_impl.rs:33``,
+which targets ``object_store``).  Remote stores use synchronous fsspec
+writes; the native C++ async writer covers local filesystems.
 """
 
 from __future__ import annotations
@@ -16,6 +22,46 @@ import zlib
 from typing import Any, Mapping, Optional, Sequence
 
 import numpy as np
+
+
+def is_url_path(path: str) -> bool:
+    return "://" in path
+
+
+def _join(base: str, *parts: str) -> str:
+    if is_url_path(base):
+        return "/".join([base.rstrip("/")] + [p.strip("/") for p in parts])
+    return os.path.join(base, *parts)
+
+
+def _fs(path: str):
+    import fsspec
+
+    fs, root = fsspec.core.url_to_fs(path)
+    return fs, root
+
+
+def _makedirs(path: str) -> None:
+    if is_url_path(path):
+        fs, root = _fs(path)
+        fs.makedirs(root, exist_ok=True)
+    else:
+        os.makedirs(path, exist_ok=True)
+
+
+def _open(path: str, mode: str = "r"):
+    if is_url_path(path):
+        import fsspec
+
+        return fsspec.open(path, mode).open()
+    return open(path, mode)
+
+
+def _exists(path: str) -> bool:
+    if is_url_path(path):
+        fs, root = _fs(path)
+        return fs.exists(root)
+    return os.path.exists(path)
 
 _DTYPE_MAP = {
     np.dtype("float64"): "<f8",
@@ -50,24 +96,24 @@ def _fill_value(dtype: np.dtype):
 class ZarrGroup:
     def __init__(self, path: str, attrs: Optional[Mapping[str, Any]] = None):
         self.path = path
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, ".zgroup"), "w") as f:
+        _makedirs(path)
+        with _open(_join(path, ".zgroup"), "w") as f:
             json.dump({"zarr_format": 2}, f)
         if attrs:
             self.write_attrs(attrs)
 
     def write_attrs(self, attrs: Mapping[str, Any]):
-        with open(os.path.join(self.path, ".zattrs"), "w") as f:
+        with _open(_join(self.path, ".zattrs"), "w") as f:
             json.dump(dict(attrs), f, default=str)
 
     def group(self, name: str, attrs=None) -> "ZarrGroup":
-        return ZarrGroup(os.path.join(self.path, name), attrs)
+        return ZarrGroup(_join(self.path, name), attrs)
 
     def array(self, name: str, shape, chunks, dtype,
               dims: Optional[Sequence[str]] = None,
               attrs: Optional[Mapping[str, Any]] = None,
               compress: bool = True, writer=None) -> "ZarrArray":
-        return ZarrArray(os.path.join(self.path, name), shape, chunks, dtype,
+        return ZarrArray(_join(self.path, name), shape, chunks, dtype,
                          dims=dims, attrs=attrs, compress=compress,
                          writer=writer)
 
@@ -91,14 +137,14 @@ class ZarrArray:
         self.chunks = tuple(int(c) for c in chunks)
         self.dtype = np.dtype(dtype)
         self.compress = compress
-        os.makedirs(path, exist_ok=True)
+        _makedirs(path)
         self._write_meta()
         zattrs = dict(attrs or {})
         if dims is not None:
             # xarray convention used by ArviZ readers.
             zattrs["_ARRAY_DIMENSIONS"] = list(dims)
         if zattrs:
-            with open(os.path.join(path, ".zattrs"), "w") as f:
+            with _open(_join(path, ".zattrs"), "w") as f:
                 json.dump(zattrs, f, default=str)
 
     def _write_meta(self):
@@ -112,7 +158,7 @@ class ZarrArray:
             "order": "C",
             "filters": None,
         }
-        with open(os.path.join(self.path, ".zarray"), "w") as f:
+        with _open(_join(self.path, ".zarray"), "w") as f:
             json.dump(meta, f)
 
     def resize(self, new_shape):
@@ -131,20 +177,20 @@ class ZarrArray:
             data = pad
         raw = data.tobytes(order="C")
         name = ".".join(str(int(i)) for i in chunk_index)
-        target = os.path.join(self.path, name)
+        target = _join(self.path, name)
         if self.writer is not None:
             # Compression + I/O happen on the native worker threads.
             self.writer.write(target, raw, 1 if self.compress else -1)
             return
         if self.compress:
             raw = zlib.compress(raw, 1)
-        with open(target, "wb") as f:
+        with _open(target, "wb") as f:
             f.write(raw)
 
 
 def read_array(path: str) -> np.ndarray:
     """Read back a full Zarr v2 array (for tests / inspect)."""
-    with open(os.path.join(path, ".zarray")) as f:
+    with _open(_join(path, ".zarray")) as f:
         meta = json.load(f)
     shape = tuple(meta["shape"])
     chunks = tuple(meta["chunks"])
@@ -160,10 +206,11 @@ def read_array(path: str) -> np.ndarray:
     def rec(idx):
         if len(idx) == len(grid):
             name = ".".join(map(str, idx))
-            fp = os.path.join(path, name)
-            if not os.path.exists(fp):
+            fp = _join(path, name)
+            if not _exists(fp):
                 return
-            raw = open(fp, "rb").read()
+            with _open(fp, "rb") as _f:
+                raw = _f.read()
             if meta["compressor"] is not None:
                 raw = zlib.decompress(raw)
             block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
@@ -179,8 +226,8 @@ def read_array(path: str) -> np.ndarray:
 
 
 def read_attrs(path: str) -> dict:
-    fp = os.path.join(path, ".zattrs")
-    if not os.path.exists(fp):
+    fp = _join(path, ".zattrs")
+    if not _exists(fp):
         return {}
-    with open(fp) as f:
+    with _open(fp) as f:
         return json.load(f)

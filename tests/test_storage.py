@@ -135,3 +135,26 @@ def test_zarr_string_coords(tmp_path):
     np.testing.assert_array_equal(axis, np.array(["alpha", "beta", "gamma"]))
     assert read_attrs(os.path.join(path, "posterior", "axis"))[
         "_ARRAY_DIMENSIONS"] == ["axis"]
+
+
+def test_zarr_object_store_url():
+    # fsspec-routed stores (the reference's async zarr targets object_store,
+    # src/storage/zarr/async_impl.rs:33): a memory:// URL exercises the
+    # non-local path end-to-end; s3:// etc. work the same way when the
+    # protocol's fsspec driver is installed.
+    import numpy as np
+    import uuid
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian
+    from nuts_rs_tpu.storage.zarr import ZarrConfig
+    from nuts_rs_tpu.storage.zarr_format import read_array
+
+    path = f"memory://trace_{uuid.uuid4().hex}.zarr"
+    sam = nt.Sampler(gaussian.normal_logp(3, 3.0),
+                     nt.DiagNutsSettings(num_tune=30, num_draws=40,
+                                         num_chains=2, seed=0),
+                     storage=ZarrConfig(path, chunk_draws=10))
+    sam.run()
+    pos = read_array(path + "/posterior/position")
+    assert pos.shape == (2, 40, 3)
+    assert np.isfinite(pos).all()
