@@ -105,6 +105,12 @@ class CsvStorage(TraceStorage):
         for f in self._files:
             f.flush()
 
+    def inspect(self):
+        # Reference behavior: CSV inspection flushes but produces no
+        # finalized snapshot (csv.rs:350-354 returns Ok(None)).
+        self.flush()
+        return None
+
 
 @dataclasses.dataclass
 class CsvConfig(StorageConfig):
