@@ -219,7 +219,14 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
 
 
 def run_bench():
-    head_rate, head = run_config("normal_d10")
+    try:
+        head_rate, head = run_config("normal_d10")
+    except Exception as e:
+        # The headline must never die with the whole bench: if the fused
+        # engine fails to compile on this chip/toolchain, fall back to the
+        # XLA sync kernel and report the error alongside.
+        head_rate, head = run_config("normal_d10", kernel="sync")
+        head["fused_engine_error"] = repr(e)[:500]
     grid = [head]
     side = [("normal_d1000", {}), ("logreg_d100", {}), ("mclmc_d10", {}),
             ("logreg_big", dict(num_chains=256, attempts=1))]
