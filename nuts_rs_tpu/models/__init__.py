@@ -1,2 +1,4 @@
 from .model import Model, StreamSpec
 from . import gaussian
+from . import hierarchical
+from . import stochastic_volatility
