@@ -173,7 +173,10 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
         hi = min(lo + min(200, num_draws), num_tune + num_draws)
         runner = jax.jit(next(
             r for s_, e_, r in sampler._phase_runners if s_ <= lo < e_))
-        kflags = _schedule_chunk(sampler.schedule, lo, hi)
+        # extra_flags adds runner-specific per-draw flags (e.g. MCLMC's
+        # 'resample'); raw schedule rows alone KeyError in those runners.
+        kflags = settings.extra_flags(
+            _schedule_chunk(sampler.schedule, lo, hi), lo, hi)
         _, kstats = runner(sampler.state, kflags)   # compile + warm
         jax.block_until_ready(kstats)
         t0 = time.monotonic()

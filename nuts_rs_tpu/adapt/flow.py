@@ -210,7 +210,13 @@ class FlowStrategy:
         c = state.extra.draws.shape[0]
         keys = jax.vmap(lambda k: jax.random.fold_in(k, 13))(state.keys)
 
-        if self.flow_settings.pool_chains and c > 1:
+        axis = getattr(self.config, "axis_name", None)
+        # c is the SHARD-LOCAL chain count under shard_map: with one chain
+        # per device the pooled path must still run (and gather) — `c > 1`
+        # alone would silently degrade to per-chain refits on a mesh.
+        pooled = self.flow_settings.pool_chains and (c > 1
+                                                     or axis is not None)
+        if pooled:
             # Pooled refit: every chain's window concatenates into one
             # training set, one Adam run fits one shared flow, and every
             # chain receives it.  (spec.update subsamples to its training
@@ -221,9 +227,27 @@ class FlowStrategy:
             grads = state.extra.grads.reshape(c * cap, d)
             logps = state.extra.logps.reshape(c * cap)
             mask = valid.reshape(c * cap)
+            key0 = keys[0]
+            if axis is not None:
+                # Cross-device pooling (the low-rank path's psum analog,
+                # adapt/low_rank.py::pooled_compute_update): gather every
+                # shard's windows so ALL devices train the SAME flow on the
+                # SAME data — and share one key (per-shard keys[0] would
+                # give each device different Adam randomness and hence a
+                # different "shared" flow).
+                def gat(x):
+                    g = jax.lax.all_gather(x, axis)
+                    return g.reshape((-1,) + x.shape[1:])
+
+                draws, grads = gat(draws), gat(grads)
+                logps, mask = gat(logps), gat(mask)
+                key0 = jax.random.wrap_key_data(
+                    jax.lax.all_gather(jax.random.key_data(keys),
+                                       axis).reshape(
+                        (-1,) + jax.random.key_data(keys).shape[1:])[0])
             params0 = jax.tree.map(lambda v: v[0], state.transform.params)
             with jax.default_matmul_precision("highest"):
-                new0 = self.spec.update(keys[0], params0, draws, grads,
+                new0 = self.spec.update(key0, params0, draws, grads,
                                         logps, mask)
             params = jax.tree.map(
                 lambda v: jnp.broadcast_to(v, (c,) + v.shape), new0)
@@ -250,6 +274,15 @@ class FlowStrategy:
                     & jnp.isfinite(logdet))
 
         ok = jax.vmap(current_ok)(params, state.pt.q, state.pt.g)
+        if pooled:
+            # A POOLED flow must stay identical across every chain (the
+            # fused posterior engine packs chain 0's params for all of
+            # them) — accept the refit only if it is finite at EVERY
+            # chain's current point, across all mesh shards.
+            ok_all = jnp.all(ok)
+            if axis is not None:
+                ok_all = jax.lax.pmin(ok_all.astype(jnp.int32), axis) > 0
+            ok = jnp.broadcast_to(ok_all, ok.shape)
 
         def select(new, old):
             shape = (ok.shape[0],) + (1,) * (new.ndim - 1)

@@ -765,6 +765,8 @@ def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
     with ``stats[name]`` shaped [k, C, ...].
     """
     from .kernels.nuts_pallas import (
+        FLAG_ADVANCE_DA, FLAG_DO_SWITCH, FLAG_DO_UPDATE, FLAG_UPDATE_EST,
+        FLAG_USE_BEST, FLAG_USE_LATE,
         NFLAGS, NSCA, SCA_CNT_BG, SCA_CNT_FG, SCA_DA_CNT, SCA_DA_HBAR,
         SCA_DA_LS, SCA_DA_LSA, SCA_DA_MU, SCA_LOGDET, SCA_STEP, SCA_TID,
         nuts_pallas_warmup_run,
@@ -858,9 +860,12 @@ def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
         dtype = state.pt.q.dtype
 
         flag_cols = jnp.zeros((k, NFLAGS), jnp.int32)
-        for col, name in [(0, "update_estimators"), (1, "do_update"),
-                          (2, "advance_da"), (3, "use_late_estimator"),
-                          (4, "use_best_guess"), (5, "do_switch")]:
+        for col, name in [(FLAG_UPDATE_EST, "update_estimators"),
+                          (FLAG_DO_UPDATE, "do_update"),
+                          (FLAG_ADVANCE_DA, "advance_da"),
+                          (FLAG_USE_LATE, "use_late_estimator"),
+                          (FLAG_USE_BEST, "use_best_guess"),
+                          (FLAG_DO_SWITCH, "do_switch")]:
             flag_cols = flag_cols.at[:, col].set(
                 flags[name].astype(jnp.int32))
 

@@ -754,7 +754,7 @@ def nuts_pallas_run(
 WARMUP_STAT_NAMES = STAT_NAMES + ["step_size_bar", "transformation_index"]
 NSTATS_W = len(WARMUP_STAT_NAMES)
 
-# flags_ref columns (i32): see build_warmup_flags()
+# flags_ref columns (i32): packed in chain.py::make_pallas_warmup_runner
 FLAG_UPDATE_EST = 0
 FLAG_DO_UPDATE = 1
 FLAG_ADVANCE_DA = 2
@@ -1281,22 +1281,6 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
             final["it"].astype(jnp.int32).reshape(1, 1), iters_ref.shape)
 
     return kernel
-
-
-def build_warmup_flags(sched, lo: int, hi: int) -> "jnp.ndarray":
-    """Pack the per-draw schedule rows [lo, hi) into the kernel's [K, NFLAGS]
-    i32 flag array (see FLAG_* constants)."""
-    import numpy as np
-
-    k = hi - lo
-    f = np.zeros((k, NFLAGS), np.int32)
-    f[:, FLAG_UPDATE_EST] = sched.update_estimators[lo:hi]
-    f[:, FLAG_DO_UPDATE] = sched.do_update[lo:hi]
-    f[:, FLAG_ADVANCE_DA] = sched.advance_da[lo:hi]
-    f[:, FLAG_USE_LATE] = sched.use_late_estimator[lo:hi]
-    f[:, FLAG_USE_BEST] = sched.use_best_guess[lo:hi]
-    f[:, FLAG_DO_SWITCH] = sched.do_switch[lo:hi]
-    return jnp.asarray(f)
 
 
 def nuts_pallas_warmup_run(

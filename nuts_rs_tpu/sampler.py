@@ -510,8 +510,15 @@ class Sampler:
                         "dim-sharded execution currently supports the "
                         "diagonal mass matrix only (low-rank/flow refits "
                         "operate on full-dimension draw windows)")
-            if (getattr(settings, "cross_chain_adaptation", False)
+            flow_pooled = (getattr(settings, "mass_matrix", "diag") == "flow"
+                           and getattr(getattr(settings, "flow", None),
+                                       "pool_chains", False))
+            if ((getattr(settings, "cross_chain_adaptation", False)
+                 or flow_pooled)
                     and getattr(settings, "mesh_axis_name", None) is None):
+                # Pooled flow refits are cross-chain BY DESIGN: without the
+                # axis bound each device would train its own "shared" flow
+                # on 1/N of the windows (adapt/flow.py gathers over it).
                 settings = dataclasses.replace(
                     settings, mesh_axis_name=CHAIN_AXIS)
         self.mesh = mesh

@@ -89,3 +89,31 @@ def test_mesh_pallas_matches_unmeshed_statistics():
     b = np.asarray(t_flat.posterior["position"])
     assert abs(a.mean() - b.mean()) < 0.08
     assert abs(a.std() - b.std()) < 0.08
+
+
+def test_mesh_pooled_flow_trains_one_shared_flow():
+    # Pooled flow refits under a mesh must all-gather the training windows
+    # and share one key, so every device holds the SAME flow (adapt/flow.py
+    # gathers over the chains axis; without it each device would train its
+    # own "shared" flow on 1/N of the windows).  Statistical check: the
+    # meshed run must match the unmeshed pooled run.
+    from nuts_rs_tpu.flows import diag_affine_flow
+
+    model = gaussian.normal_logp(4, MU)
+
+    def run(mesh):
+        settings = nt.FlowNutsSettings(
+            num_tune=200, num_draws=300, num_chains=8, seed=3,
+            flow_spec=diag_affine_flow())
+        return nt.sample(model, settings, mesh=mesh, chunk_size=100)
+
+    t_mesh = run(make_mesh())
+    t_flat = run(None)
+    a = np.asarray(t_mesh.posterior["position"])
+    b = np.asarray(t_flat.posterior["position"])
+    assert abs(a.mean() - MU) < 0.15
+    assert abs(a.mean() - b.mean()) < 0.12
+    assert abs(a.std() - b.std()) < 0.15
+    # the shared transform advances identically on every chain
+    ti = np.asarray(t_mesh.sample_stats["transformation_index"])
+    assert (ti == ti[:1]).all(), "chains disagree on the transformation id"
