@@ -460,7 +460,8 @@ def make_async_posterior_runner(model, strategy, config: ChainConfig,
             lambda key, pt, t, step, bar: nuts_run_async(
                 key, pt, t, step, bar, k, logp_grad, config.nuts,
                 sset.jitter, draw_offset=state.draw_idx,
-                jitter_first=jitter_first, ops=ops)
+                jitter_first=jitter_first,
+                resync_first=jnp.logical_not(jitter_first), ops=ops)
         )(state.keys, state.pt, state.transform, state.step.step_size, bars)
 
         state = state._replace(
@@ -672,10 +673,32 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
         # checkpointed state, so resume stays bit-identical.
         dev_salt = jax.random.randint(
             state.keys[0], (), 0, 2**31 - 1, dtype=jnp.int32)
+
+        # The kernel applies its step operand verbatim to the FIRST draw of a
+        # launch (by design: the very first posterior draw keeps the
+        # warmup-set step, as in the reference).  Threading the previous
+        # launch's last USED step across sub-launch/chunk boundaries would
+        # make that first draw reuse the previous draw's jitter sample, so
+        # continuation launches get a freshly jittered first step instead
+        # (keyed on the global draw index: deterministic, resume-safe).
+        def launch_step(start_draw):
+            kj = jax.vmap(lambda kc: jax.random.fold_in(
+                jax.random.fold_in(kc, 0x6A17), start_draw))(state.keys)
+            u = jax.vmap(lambda k_: jax.random.uniform(
+                k_, (), bars.dtype,
+                minval=1.0 - sset.jitter, maxval=1.0 + sset.jitter))(kj)
+            return bars * u
+
         draws_parts, out_parts = [], []
         done = 0
         while done < k:
             kk = min(MAX_K, k - done)
+            if sset.jitter is not None:
+                if done == 0:
+                    step_in = jnp.where(state.draw_idx == phase_start,
+                                        step_in, launch_step(state.draw_idx))
+                else:
+                    step_in = launch_step(state.draw_idx + done)
             seed = (jnp.int32(base_seed & 0x7FFFFFFF)
                     ^ ((state.draw_idx + done)
                        * jnp.int32(2654435761 & 0x7FFFFFFF))

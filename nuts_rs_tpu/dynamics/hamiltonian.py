@@ -195,17 +195,26 @@ def init_point_from_q(q, transform, logp_grad_fn: LogpGradFn,
 
 def initialize_trajectory(key, pt: Point, transform,
                           kind: KineticKind, resample_velocity=True,
-                          ops=AFFINE_OPS, logp_grad_fn=None) -> Point:
+                          ops=AFFINE_OPS, logp_grad_fn=None,
+                          resync=True) -> Point:
     """Refresh momentum and re-sync the transform cache before a draw.
 
     (nuts-rs ``initialize_trajectory``, transformed_hamiltonian.rs:687-736).
-    The z/zg/logdet resync is done unconditionally — it is cheap and idempotent,
-    so no transform-id staleness tracking is needed on device.
+    The z/zg/logdet resync is done unconditionally by default — it is cheap
+    and idempotent for affine transforms, so no transform-id staleness
+    tracking is needed on device.  Callers that KNOW the transform is frozen
+    and ``pt`` already carries a consistent (z, zg, logdet) — e.g. the
+    draw-asynchronous posterior kernel restarting from the previous draw —
+    pass ``resync=False`` to skip the re-evaluation (for flow transforms the
+    resync costs an inverse plus a forward-vjp per call).
     """
     dtype = pt.q.dtype
     dim = pt.q.shape[-1]
     v = sample_momentum(key, dim, dtype, kind) if resample_velocity else pt.v
-    z, zg, logdet = ops.eval_from_q(transform, pt.q, pt.g, logp_grad_fn)
+    if resync:
+        z, zg, logdet = ops.eval_from_q(transform, pt.q, pt.g, logp_grad_fn)
+    else:
+        z, zg, logdet = pt.z, pt.zg, pt.logdet
     if kind is KineticKind.MICROCANONICAL:
         ke = jnp.zeros((), dtype)
     else:

@@ -50,11 +50,9 @@ from ..dynamics.hamiltonian import (
     KineticKind,
     LogpGradFn,
     initialize_trajectory,
-    is_turning,
     leapfrog,
 )
 from ..dynamics.point import Point, point_where
-from ..transform.affine import AffineTransform
 from ..transform.ops import AFFINE_OPS
 from ..parallel.axis import dfinish, dsum
 from ..utils.bits import trailing_zeros

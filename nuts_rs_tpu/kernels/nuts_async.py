@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..dynamics.hamiltonian import initialize_trajectory
-from ..dynamics.point import Point, point_where
+from ..dynamics.point import Point
+from ..parallel.axis import dsum
 from ..transform.ops import AFFINE_OPS
 from .nuts import (
     NutsOptions,
@@ -91,6 +92,7 @@ def nuts_run_async(
     jitter: float | None,
     draw_offset: jax.Array | int = 0,
     jitter_first=False,
+    resync_first=True,
     ops=AFFINE_OPS,
 ) -> tuple[Point, AsyncOut]:
     """Run ``num_draws`` NUTS draws for one chain (vmap for batches).
@@ -102,10 +104,32 @@ def nuts_run_async(
 
     Per-draw randomness derives from ``fold_in(key, draw_offset + n)`` so
     results are invariant to how draws are chunked across launches.
+
+    ``resync_first`` controls whether the first draw re-evaluates
+    (z, zg, logdet) from ``init_pt.q``.  It must be True (possibly as a
+    traced bool) exactly at the phase start — the warmup tail may have
+    switched the transform after producing ``init_pt``, leaving its cache
+    stale — and False on continuation launches, where ``init_pt`` is the
+    previous launch's tree point: resyncing there would round-trip z→q→z
+    and break bit-exact chunk invariance (in-kernel restarts carry z).
     """
+    # Orbit buffers are only consumed by warmup flow training; AsyncOut never
+    # emits them, so carrying [2^maxdepth, d] dead writes through the
+    # while-loop would be pure HBM traffic.
+    if opts.collect_orbit:
+        import dataclasses
+
+        opts = dataclasses.replace(opts, collect_orbit=False)
     K = num_draws
     dim = init_pt.q.shape[-1]
     dtype = init_pt.q.dtype
+    # A tree can be "born finished" (maxdepth_dyn == 0) only when
+    # target_integration_time <= step_size (or maxdepth == 0): nuts-rs then
+    # performs zero doublings (nuts.rs:300-320) and the sync kernel emits the
+    # initial point with n_steps == 0.  Guard statically so the common case
+    # pays no extra select.
+    may_born_finished = (opts.target_integration_time is not None
+                         or opts.maxdepth == 0)
 
     def draw_keys(n):
         kd = jax.random.fold_in(key, jnp.asarray(draw_offset) + n)
@@ -121,7 +145,16 @@ def nuts_run_async(
             k_jit0, dtype=dtype, minval=1.0 - jitter, maxval=1.0 + jitter)
         step0 = jnp.where(jnp.asarray(jitter_first), jittered0, step_size)
     pt0 = initialize_trajectory(k_mom, init_pt, transform, opts.kind,
-                                ops=ops, logp_grad_fn=logp_grad_fn)
+                                ops=ops, logp_grad_fn=logp_grad_fn,
+                                resync=False)
+    if resync_first is not False:
+        z, zg, logdet = ops.eval_from_q(transform, init_pt.q, init_pt.g,
+                                        logp_grad_fn)
+        r = jnp.asarray(resync_first)
+        pt0 = pt0._replace(
+            z=jnp.where(r, z, pt0.z),
+            zg=jnp.where(r, zg, pt0.zg),
+            logdet=jnp.where(r, jnp.asarray(logdet, dtype), pt0.logdet))
     tree = _init_tree_carry(k_tree, pt0, step0, opts,
                             jax.random.uniform(k_dir, dtype=dtype))
     carry = _AsyncCarry(tree=tree, key=key,
@@ -132,14 +165,24 @@ def nuts_run_async(
         return c.draw_count < K
 
     def body(c: _AsyncCarry) -> _AsyncCarry:
-        tree = _tree_body(c.tree, transform, logp_grad_fn, opts, ops)
+        stepped = _tree_body(c.tree, transform, logp_grad_fn, opts, ops)
+        if may_born_finished:
+            # Match the sync while_loop, whose cond runs BEFORE each body: a
+            # born-finished tree takes no leapfrog and emits its initial
+            # point (n_steps == 0).
+            pre_done = _tree_finished(c.tree)
+            tree = jax.tree.map(
+                lambda old, new: jnp.where(pre_done, old, new),
+                c.tree, stepped)
+        else:
+            tree = stepped
         finished = _tree_finished(tree)
 
         draw, info = _extract_info(tree)
         # unfinished iterations write to the in-bounds trash row K
         slot = jnp.where(finished, c.draw_count, jnp.int32(K))
         o = c.out
-        fisher = jnp.sum(jnp.square(draw.z + draw.zg))
+        fisher = dsum(jnp.square(draw.z + draw.zg))
         # The [d]-row write uses a one-hot select: windowed scatters inside a
         # vmapped while_loop silently drop a large fraction of updates on the
         # TPU backend (observed ~37% all-zero rows); 1-element scatters on the
@@ -174,8 +217,14 @@ def nuts_run_async(
                                         minval=1.0 - jitter,
                                         maxval=1.0 + jitter)
             new_step = new_step * factor
+        # The transform is frozen in the posterior phase and `draw` already
+        # carries a consistent (z, zg, logdet) from the tree it came out of,
+        # so skip the resync: with a flow transform it would cost an inverse
+        # plus a forward-vjp on EVERY leapfrog iteration (the result is
+        # discarded on all non-finishing ones).
         pt_next = initialize_trajectory(k_mom, draw, transform, opts.kind,
-                                        ops=ops, logp_grad_fn=logp_grad_fn)
+                                        ops=ops, logp_grad_fn=logp_grad_fn,
+                                        resync=False)
         fresh = _init_tree_carry(k_tree, pt_next, new_step, opts,
                                  jax.random.uniform(k_dir, dtype=dtype))
         tree = jax.tree.map(

@@ -488,7 +488,10 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                     n_steps.astype(f32), s_acc, s_sym, mx_err,
                     dm_logp, energy_m, energy_m - c["e_init"],
                     dm_idx.astype(f32), fisher, c["step"],
-                    (depth >= D).astype(f32),
+                    # maxdepth_reached matches the XLA kernel's
+                    # (~done) & (depth >= maxdepth): a tree that diverged or
+                    # turned on its final merge did not exit via maxdepth.
+                    ((depth >= D) & ~turned & ~diverged).astype(f32),
                 ], axis=1 if LD else 0)  # [B, NSTATS] (ld) / [NSTATS, B] (cl)
                 out_stats_ref[:] = jnp.where(kmask, stats[None],
                                              out_stats_ref[:])
@@ -1250,7 +1253,10 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 t["n_steps"].astype(f32), t["s_acc"], t["s_sym"], t["mx_err"],
                 t["dm_logp"], energy_m, energy_m - e_init,
                 t["dm_idx"].astype(f32), fisher, base,
-                (t["depth"] >= D).astype(f32), bar, tid_n,
+                # maxdepth_reached = (~done) & (depth >= maxdepth): trees
+                # that diverged or turned did not exit via maxdepth.
+                ((t["depth"] >= D) & (t["div"] == 0)
+                 & (t["turn"] == 0)).astype(f32), bar, tid_n,
             ], axis=1 if LD else 0)
             out_stats_ref[:] = jnp.where(kmask, stats[None],
                                          out_stats_ref[:])

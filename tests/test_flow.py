@@ -147,6 +147,27 @@ def test_flow_orbit_collection_sampling():
     assert (counts <= n_warmup_steps).all()
 
 
+def test_flow_async_posterior_chunk_invariance():
+    # The draw-asynchronous kernel restarts trajectories with resync=False
+    # (carried z/zg/logdet); with a flow transform this is the path where a
+    # stale or round-tripped cache would corrupt energies.  The posterior
+    # must be chunk-invariant bit-for-bit and match the flow sync path's
+    # moments.
+    model = gaussian.normal_logp(5, mu=3.0)
+    base = dict(num_tune=200, num_draws=300, num_chains=2, seed=0,
+                flow_spec=diag_affine_flow())
+    tr_a = nt.sample(model, nt.FlowNutsSettings(posterior_kernel="async",
+                                                **base), chunk_size=100)
+    tr_b = nt.sample(model, nt.FlowNutsSettings(posterior_kernel="async",
+                                                **base), chunk_size=250)
+    np.testing.assert_array_equal(tr_a.posterior["position"],
+                                  tr_b.posterior["position"])
+    d = np.asarray(tr_a.posterior["position"])
+    assert abs(d.mean() - 3.0) < 0.15
+    assert abs(d.std() - 1.0) < 0.2
+    assert np.isfinite(np.asarray(tr_a.sample_stats["energy"])).all()
+
+
 def test_coupling_flow_pallas_posterior():
     """Fused Pallas flow posterior (frozen pooled coupling flow in-kernel,
     autodiffed through pallas_forward): same posterior as the XLA flow path

@@ -383,7 +383,7 @@ class _PallasChainSim:
                 depth=self.depth, diverging=diverged,
                 n_steps=self.n_steps, idx=self.dm.idx,
                 z=np.asarray(self.dm.z), sum_accept=self.s_acc,
-                maxdepth=self.depth >= D,
+                maxdepth=self.depth >= D and not turned and not diverged,
             ))
             # fresh tree from the selected draw
             new_dir = 1 if float(new_dir_u) < 0.5 else -1
