@@ -256,6 +256,13 @@ class MclmcSettings:
     use_grad_based_estimate: bool = True
     mass_matrix: str = "diag"
     matmul_precision: Optional[str] = None
+    # Cross-chain adaptation (TPU-native extension, as on NutsSettings;
+    # BASELINE config 5's "psum'd adaptation"): pool the diag mass-matrix
+    # foreground estimators across all chains (pmean over the mesh axis when
+    # sharded).  MCLMC's step size stays fixed (reference semantics), so
+    # only the geometry pools.
+    cross_chain_adaptation: bool = False
+    mesh_axis_name: Optional[str] = None
 
     @property
     def step_size_settings(self) -> StepSizeSettings:
@@ -278,6 +285,7 @@ class MclmcSettings:
             store_mass_matrix=self.store_mass_matrix,
             store_mass_matrix_eigs=(self.mass_matrix == "low_rank"
                                     and self.low_rank.store_mass_matrix),
+            axis_name=self.mesh_axis_name,
         )
 
     @property

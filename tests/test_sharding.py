@@ -144,3 +144,24 @@ def test_cross_chain_adaptation_setting():
     assert abs(d.mean() - 1.0) < 0.1
     bars = trace.sample_stats["step_size_bar"][:, -1]
     np.testing.assert_allclose(bars, bars[0], rtol=1e-6)
+
+
+def test_mclmc_cross_chain_adaptation_on_mesh():
+    # BASELINE config 5's "psum'd adaptation": MCLMC with chains sharded
+    # over the mesh and the diag mass-matrix estimators pooled across
+    # chains/devices.  MCLMC's step size stays fixed (reference semantics);
+    # the pooled geometry must be identical on every chain after warmup.
+    mesh = make_mesh(8)
+    model = gaussian.normal_logp(64, mu=1.0)
+    settings = nt.DiagMclmcSettings(
+        num_tune=200, num_draws=200, num_chains=8, seed=4,
+        cross_chain_adaptation=True, store_mass_matrix=True)
+    trace = nt.sample(model, settings, mesh=mesh, chunk_size=400)
+    pos = np.asarray(trace.posterior["position"])
+    flat = pos.reshape(-1, 64)
+    assert abs(flat.mean() - 1.0) < 0.1
+    assert abs(flat.std() - 1.0) < 0.15
+    # pooled mass matrix: every chain carries the same stds on the last draw
+    mm = np.asarray(trace.sample_stats["mass_matrix_inv"])[:, -1]
+    np.testing.assert_allclose(mm, np.broadcast_to(mm[0], mm.shape),
+                               rtol=1e-6)
