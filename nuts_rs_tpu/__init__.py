@@ -21,6 +21,7 @@ from .adapt.flow import FlowAdaptSettings
 from .adapt.low_rank import LowRankSettings
 from .sampler import (
     ChainProgress,
+    ConvergenceStop,
     DiagMclmcSettings,
     DiagNutsSettings,
     FlowMclmcSettings,
@@ -65,6 +66,7 @@ __all__ = [
     "MclmcTrajectoryKind",
     "MemoryConfig",
     "Model",
+    "ConvergenceStop",
     "NutsOptions",
     "NutsSettings",
     "Sampler",

@@ -396,6 +396,45 @@ def FlowNutsSettings(**kw) -> NutsSettings:
     return NutsSettings(**kw)
 
 
+@dataclasses.dataclass(frozen=True)
+class ConvergenceStop:
+    """Early-stopping criteria: sample until converged, then stop.
+
+    No reference counterpart — the chunked controller makes between-chunk
+    diagnostics essentially free, so "run until R-hat/ESS targets are met"
+    becomes a first-class mode instead of a guess-num_draws-and-rerun loop.
+    After every chunk containing post-warmup draws the sampler computes
+    rank-normalized split-R-hat and bulk ESS (diagnostics.py) over the
+    posterior draws accumulated so far on ``var``; once every dimension
+    satisfies BOTH targets the sampler stops and finalizes the (shorter)
+    trace.  ``settings.num_draws`` stays the hard upper bound.  Dimensions
+    whose diagnostics are NaN (e.g. constant) never satisfy the check, so
+    such runs simply continue to ``num_draws``.
+    """
+
+    rhat_max: float = 1.01
+    min_ess_bulk: float = 400.0
+    # posterior draws required before the first (and any) check
+    min_draws: int = 100
+    # check only the first N dims of ``var`` (None = all); caps host-side
+    # diagnostic cost for huge-d models
+    check_dims: Optional[int] = None
+    var: str = "position"
+
+    def satisfied(self, x) -> bool:
+        from .diagnostics import ess_bulk, split_rhat
+
+        if x.shape[1] < max(self.min_draws, 4):
+            return False
+        if self.check_dims is not None and x.ndim == 3:
+            x = x[..., : self.check_dims]
+        rhat = np.asarray(split_rhat(x))
+        if not np.all(rhat <= self.rhat_max):  # NaN -> False -> keep going
+            return False
+        ess = np.asarray(ess_bulk(x))
+        return bool(np.all(ess >= self.min_ess_bulk))
+
+
 @dataclasses.dataclass
 class ChainProgress:
     """Mirror of nuts-rs ``ChainProgress`` (src/sampler.rs:1009-1051)."""
@@ -473,6 +512,7 @@ class Sampler:
         progress_callback=None,
         mesh=None,
         profile_dir: Optional[str] = None,
+        stop_when: Optional[ConvergenceStop] = None,
     ):
         # Mesh execution (SURVEY.md §2.12): shard the chain axis over a
         # ``jax.sharding.Mesh`` with ``shard_map`` so chains scale across
@@ -707,6 +747,12 @@ class Sampler:
         # TensorBoard/Perfetto.  The reference's only observability is
         # per-draw stats; the per-draw stats pipeline here is unchanged.
         self._profile_dir = profile_dir
+        # Convergence early-stop (ConvergenceStop): posterior draws of
+        # stop_when.var accumulate host-side per chunk; `converged` flips
+        # once the criteria hold and run()/wait_timeout() stop launching.
+        self.stop_when = stop_when
+        self.converged = False
+        self._post_buffer: list = []
         self._last_callback = 0.0
         # Rate-limit the progress callback like the reference's
         # ProgressCallback (src/sampler.rs:1262-1265,1340-1363).
@@ -764,6 +810,15 @@ class Sampler:
 
         tuning = self.schedule.is_tuning[lo:hi]
         self.trace.record_chunk(lo, stats, expanded, tuning)
+        if self.stop_when is not None and not self.converged:
+            merged = {**stats, **expanded}
+            x = np.asarray(merged[self.stop_when.var])
+            post = x[:, ~tuning]
+            if post.shape[1]:
+                self._post_buffer.append(np.asarray(post, np.float64))
+                series = (self._post_buffer[0] if len(self._post_buffer) == 1
+                          else np.concatenate(self._post_buffer, axis=1))
+                self.converged = self.stop_when.satisfied(series)
         self._update_progress(lo, stats, tuning, elapsed)
         if self.progress_callback is not None:
             now = time.monotonic()
@@ -810,7 +865,7 @@ class Sampler:
         # writes overlap the next chunk's compute instead of serializing
         # with it.
         pending = None
-        while not self.finished:
+        while not self.finished and not self.converged:
             if self._paused:
                 break
             nxt = self._launch_chunk()
@@ -819,6 +874,10 @@ class Sampler:
             pending = nxt
         if pending is not None:
             self._finish_chunk(*pending)
+        if self.converged and not self.finished:
+            # Early convergence stop: finalize the shorter trace.
+            self.flush()
+            return self.trace.finalize()
         if not self.finished:
             raise RuntimeError(
                 "sampler paused before completion; call resume() and run() "
@@ -837,6 +896,9 @@ class Sampler:
         """
         deadline = time.monotonic() + timeout
         while not self.finished:
+            if self.converged:
+                self.flush()
+                return self.trace.finalize()
             if self._paused or time.monotonic() >= deadline:
                 return None
             self.run_next_chunk()
@@ -890,11 +952,13 @@ def sample(
     init_positions=None,
     progress_callback=None,
     mesh=None,
+    stop_when: Optional[ConvergenceStop] = None,
 ) -> Trace:
     """Sample from ``model`` — the TPU analog of ``Sampler::new`` + ``wait``.
 
     Returns an in-memory :class:`Trace` unless a different storage backend is
-    given.
+    given.  ``stop_when`` enables convergence-based early stopping (see
+    :class:`ConvergenceStop`).
     """
     settings = settings or NutsSettings()
     if seed is not None:
@@ -902,7 +966,7 @@ def sample(
     sampler = Sampler(
         model, settings, storage=storage, dtype=dtype, chunk_size=chunk_size,
         init_positions=init_positions, progress_callback=progress_callback,
-        mesh=mesh)
+        mesh=mesh, stop_when=stop_when)
     return sampler.run()
 
 

@@ -105,6 +105,16 @@ class _GroupBuffer:
         while self._pending_rows() > 0:
             self._flush_one_chunk()
 
+    def truncate_to_written(self):
+        """Shrink the draw axis to the rows actually written — finalizing a
+        run stopped before its draw budget (ConvergenceStop / pause+finalize)
+        must not leave a fill-value tail behind the data."""
+        if self.written >= self.total:
+            return
+        for arr in self.arrays.values():
+            arr.resize((arr.shape[0], self.written) + tuple(arr.shape[2:]))
+        self.total = self.written
+
 
 class ZarrStorage(TraceStorage):
     def __init__(self, path: str, settings, model, num_chains: int,
@@ -266,6 +276,7 @@ class ZarrStorage(TraceStorage):
     def finalize(self):
         for buf in self.groups.values():
             buf.flush_remainder()
+            buf.truncate_to_written()
         self._write_events()
         if self._writer is not None:
             self._writer.close()

@@ -146,3 +146,62 @@ def test_flush_forces_buffered_chunks(tmp_path):
     while not sam.finished:
         sam.run_next_chunk()
     sam.trace.finalize()
+
+
+def test_convergence_early_stop():
+    # Easy unimodal target at many chains converges far before the draw
+    # budget: the sampler must stop early, return a valid shorter trace,
+    # and the diagnostics on it must actually satisfy the criteria.
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.diagnostics import ess_bulk, split_rhat
+
+    model = gaussian.normal_logp(4, mu=2.0)
+    settings = nt.DiagNutsSettings(num_tune=200, num_draws=4000,
+                                   num_chains=8, seed=0)
+    crit = nt.ConvergenceStop(rhat_max=1.01, min_ess_bulk=500.0,
+                              min_draws=64)
+    sampler = nt.Sampler(model, settings, chunk_size=100, stop_when=crit)
+    trace = sampler.run()
+    pos = np.asarray(trace.posterior["position"])
+    assert sampler.converged
+    assert pos.shape[1] < 4000, "did not stop early"
+    assert pos.shape[1] >= 64
+    assert np.all(np.asarray(split_rhat(pos)) <= 1.01)
+    assert np.all(np.asarray(ess_bulk(pos)) >= 500.0)
+    assert abs(pos.mean() - 2.0) < 0.1
+
+
+def test_convergence_stop_never_met_runs_to_budget():
+    import nuts_rs_tpu as nt
+
+    model = gaussian.normal_logp(3, mu=0.0)
+    settings = nt.DiagNutsSettings(num_tune=100, num_draws=200,
+                                   num_chains=2, seed=1)
+    # unreachable ESS target -> must run the full budget
+    crit = nt.ConvergenceStop(min_ess_bulk=1e9, min_draws=10)
+    sampler = nt.Sampler(model, settings, chunk_size=100, stop_when=crit)
+    trace = sampler.run()
+    assert not sampler.converged
+    assert np.asarray(trace.posterior["position"]).shape[1] == 200
+
+
+def test_convergence_early_stop_zarr_truncates(tmp_path):
+    # Early stop with the Zarr backend must shrink the draw axis to the
+    # draws actually written (no NaN fill tail).
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.storage.zarr_format import read_array
+
+    path = str(tmp_path / "z")
+    model = gaussian.normal_logp(4, mu=2.0)
+    settings = nt.DiagNutsSettings(num_tune=200, num_draws=4000,
+                                   num_chains=8, seed=0)
+    crit = nt.ConvergenceStop(rhat_max=1.01, min_ess_bulk=500.0,
+                              min_draws=64)
+    sampler = nt.Sampler(model, settings, storage=nt.ZarrConfig(path),
+                         chunk_size=100, stop_when=crit)
+    sampler.run()
+    assert sampler.converged
+    arr = read_array(path + "/posterior/position")
+    assert arr.shape[0] == 8 and arr.shape[2] == 4
+    assert arr.shape[1] < 4000
+    assert np.isfinite(arr).all()
