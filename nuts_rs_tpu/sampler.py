@@ -815,7 +815,13 @@ class Sampler:
             x = np.asarray(merged[self.stop_when.var])
             post = x[:, ~tuning]
             if post.shape[1]:
-                self._post_buffer.append(np.asarray(post, np.float64))
+                # Keep only the checked dims (check_dims exists to cap host
+                # cost for huge-d models) and the draw dtype — diagnostics
+                # promote to f64 internally.
+                if (self.stop_when.check_dims is not None
+                        and post.ndim == 3):
+                    post = post[..., : self.stop_when.check_dims]
+                self._post_buffer.append(post.copy())
                 series = (self._post_buffer[0] if len(self._post_buffer) == 1
                           else np.concatenate(self._post_buffer, axis=1))
                 self.converged = self.stop_when.satisfied(series)
@@ -929,6 +935,11 @@ class Sampler:
         state, next_draw = load_state(path, self.state)
         self.state = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
         self._next_draw = next_draw
+        # Convergence bookkeeping restarts from the checkpoint: the buffer
+        # holds draws past (or duplicating) the restored cursor, and a stale
+        # `converged` would make run() return without sampling.
+        self.converged = False
+        self._post_buffer = []
 
     def inspect(self):
         return self.trace.inspect()

@@ -89,8 +89,12 @@ class _GroupBuffer:
 
     def _flush_one_chunk(self):
         chunk_idx = self.written // self.chunk_draws
+        # Cap at the rows actually pending: an early-stopped run's final
+        # partial chunk must not advance `written` past the real data (the
+        # chunk file itself is NaN-padded to full size by write_chunk).
         take = min(self.chunk_draws - self.written % self.chunk_draws,
-                   self.total - self.written)
+                   self.total - self.written,
+                   self._pending_rows())
         for name, lists in self.pending.items():
             cat = np.concatenate(lists, axis=1) if len(lists) > 1 else lists[0]
             block, rest = cat[:, :take], cat[:, take:]
@@ -198,7 +202,9 @@ class ZarrStorage(TraceStorage):
         else:
             segments = [(slice(0, k), bool(tuning[0]) if k else False)]
 
-        ids = np.asarray(stats.get("transformation_index"))
+        ids = stats.get("transformation_index")
+        if ids is not None:
+            ids = np.asarray(ids)
         for sl, is_warm in segments:
             n = sl.stop - sl.start
             if n == 0:

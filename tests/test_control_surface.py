@@ -197,11 +197,18 @@ def test_convergence_early_stop_zarr_truncates(tmp_path):
                                    num_chains=8, seed=0)
     crit = nt.ConvergenceStop(rhat_max=1.01, min_ess_bulk=500.0,
                               min_draws=64)
+    # chunk_size deliberately misaligned with the Zarr chunk_draws (100) so
+    # the early stop lands with a partial pending block: the final zarr
+    # chunk is written short and the draw axis must truncate to the real
+    # row count, not the padded one.
     sampler = nt.Sampler(model, settings, storage=nt.ZarrConfig(path),
-                         chunk_size=100, stop_when=crit)
+                         chunk_size=128, stop_when=crit)
     sampler.run()
     assert sampler.converged
     arr = read_array(path + "/posterior/position")
     assert arr.shape[0] == 8 and arr.shape[2] == 4
     assert arr.shape[1] < 4000
     assert np.isfinite(arr).all()
+    # the stop landed on a partial zarr chunk (otherwise this test cannot
+    # see the truncation-overcount bug it was written for)
+    assert arr.shape[1] % 100 != 0
