@@ -219,7 +219,7 @@ def coupling_flow(cfg: CouplingFlowConfig = CouplingFlowConfig()) -> FlowSpec:
         """Mean |z + grad_z log pi_z(z)|^2 over the masked window."""
 
         def per_sample(q, g):
-            (z, _), vjp = jax.vjp(lambda qq: inverse(params, qq), q)
+            z, _ = inverse(params, q)
             # score of the pushforward: grad_z log pi_z(z)
             #   = (dq/dz)^T g + grad_z log|det dF/dz|
             # computed by differentiating the forward map at z:

@@ -70,7 +70,6 @@ class MclmcInfo(NamedTuple):
 class _Carry(NamedTuple):
     key: jax.Array
     pt: Point
-    tmp_velocity: jax.Array
     noise: jax.Array
     remaining: jax.Array       # i32
     factor: jax.Array          # f step-size multiplier (power of 2)
@@ -118,7 +117,6 @@ def mclmc_draw(
     carry = _Carry(
         key=key,
         pt=pt0,
-        tmp_velocity=pt0.v,
         noise=jax.random.normal(fold_dim_shard(k_noise0), (dim,), dtype),
         remaining=num_base_steps,
         factor=jnp.ones((), dtype),
@@ -137,7 +135,6 @@ def mclmc_draw(
 
     def body(c: _Carry) -> _Carry:
         key, k_n1, k_n2 = jax.random.split(c.key, 3)
-        tmp_velocity = c.pt.v
 
         pt = partial_momentum_refresh(c.pt, c.noise, step_size, c.factor,
                                       ell, kind)
@@ -178,8 +175,11 @@ def mclmc_draw(
         stack_div = c.stack.at[jnp.minimum(c.stack_size, MAX_HALVINGS - 1)
                                ].set(c.remaining)
         size_div = c.stack_size + 1
-        # restore pre-refresh momentum; reuse the old noise for the retry
-        pt_div = c.pt._replace(v=tmp_velocity)
+        # Retry from the pre-refresh point (the refresh built a new local
+        # `pt`, so c.pt IS the pre-refresh state — unlike the reference,
+        # which mutates in place and must restore the momentum,
+        # mclmc.rs:282,348); the old noise is reused for the retry.
+        pt_div = c.pt
 
         div = res.diverging
         div_info = DivergenceInfo(
@@ -197,7 +197,6 @@ def mclmc_draw(
         return _Carry(
             key=key,
             pt=point_where(div, pt_div, next_pt),
-            tmp_velocity=tmp_velocity,
             noise=jnp.where(div, c.noise, noise2),
             remaining=jnp.where(div, jnp.where(give_up, jnp.int32(0),
                                                jnp.int32(2)), rem_u),

@@ -86,9 +86,16 @@ def correlated_normal(dim: int, rank1_scale: float = 0.5) -> Model:
     c = rank1_scale / (1.0 + rank1_scale * dim)
 
     def logp(q):
+        # -0.5 q^T(I - c 11^T)q written as two INDEPENDENT dsum reductions
+        # whose results combine on the replicated side.  The nested form
+        # dsum(q * (q - c*dsum(q))) is wrong under dim sharding: the
+        # local-gradient psum trick (parallel/axis._psum_local_grad) cuts
+        # the cross-shard chain-rule path through the inner dsum, dropping
+        # the -c*s term from remote shards' gradients.  Squaring the
+        # replicated psum output keeps d(s^2)/dq_i = 2s exact on every
+        # shard.
         s = dsum(q)
-        prec_q = q - c * s
-        return -0.5 * dsum(q * prec_q)
+        return -0.5 * dsum(q * q) + 0.5 * c * s * s
 
     return Model(logp_fn=logp, dim=dim, name=f"corr_normal_{dim}d",
                  dim_shardable=True)

@@ -56,7 +56,11 @@ def radon(y: np.ndarray | None = None, x: np.ndarray | None = None,
     """Build the hierarchical model; with ``y=None`` uses synthetic data
     from :func:`generate_radon`."""
     if y is None:
+        if x is not None or groups is not None:
+            raise ValueError("radon: pass all of (y, x, groups) or none")
         y, x, groups = generate_radon(J=J, n_per=n_per, seed=seed)
+    elif x is None or groups is None:
+        raise ValueError("radon: pass all of (y, x, groups) or none")
     y = np.asarray(y, np.float64)
     x = np.asarray(x, np.float64)
     groups = np.asarray(groups, np.int64)

@@ -115,6 +115,10 @@ struct Writer {
   }
 
   // Blocks when the queue is full (backpressure; async_impl.rs:365-400).
+  // The predicate also releases on shutdown so a producer blocked here
+  // during destruction cannot wait forever on a condvar about to be
+  // destroyed; jobs arriving after shutdown are dropped (destruction is a
+  // caller bug the Python layer guards against, but it must not deadlock).
   void enqueue(const char* path, const void* data, size_t len, int level) {
     WriteJob job;
     job.path = path;
@@ -123,7 +127,8 @@ struct Writer {
     job.compress_level = level;
     {
       std::unique_lock<std::mutex> lock(mu);
-      cv_pop.wait(lock, [this] { return in_flight < max_queue; });
+      cv_pop.wait(lock, [this] { return shutdown || in_flight < max_queue; });
+      if (shutdown) return;
       queue.push_back(std::move(job));
       in_flight++;
     }
@@ -132,7 +137,7 @@ struct Writer {
 
   void flush() {
     std::unique_lock<std::mutex> lock(mu);
-    cv_pop.wait(lock, [this] { return in_flight == 0; });
+    cv_pop.wait(lock, [this] { return shutdown || in_flight == 0; });
   }
 
   ~Writer() {
@@ -141,6 +146,7 @@ struct Writer {
       shutdown = true;
     }
     cv_push.notify_all();
+    cv_pop.notify_all();
     for (auto& t : workers) t.join();
   }
 };

@@ -73,24 +73,38 @@ class AsyncTraceWriter:
         self._lib = lib
         self._handle = lib.tw_create(max_queue, n_threads)
 
+    def _live_handle(self):
+        # A NULL handle would be dereferenced by the C side (hard segfault,
+        # not an exception) — guard every entry point after close().
+        h = self._handle
+        if h is None:
+            raise RuntimeError("AsyncTraceWriter used after close()")
+        return h
+
     def write(self, path: str, data: bytes, compress_level: int = 1) -> None:
-        self._lib.tw_write(self._handle, path.encode(), data, len(data),
-                           compress_level)
+        self._lib.tw_write(self._live_handle(), path.encode(), data,
+                           len(data), compress_level)
 
     def write_raw(self, path: str, data: bytes) -> None:
-        self._lib.tw_write(self._handle, path.encode(), data, len(data), -1)
+        self._lib.tw_write(self._live_handle(), path.encode(), data,
+                           len(data), -1)
 
     def flush(self) -> None:
-        self._lib.tw_flush(self._handle)
-        err = self._lib.tw_error(self._handle)
+        h = self._live_handle()
+        self._lib.tw_flush(h)
+        err = self._lib.tw_error(h)
         if err:
             raise IOError(err.decode())
 
     def close(self) -> None:
         if self._handle is not None:
-            self.flush()
-            self._lib.tw_destroy(self._handle)
-            self._handle = None
+            try:
+                self.flush()
+            finally:
+                # Destroy even when flush raises: a latched writer error must
+                # not leave a handle that invites reuse of a failed writer.
+                self._lib.tw_destroy(self._handle)
+                self._handle = None
 
     def __del__(self):
         try:

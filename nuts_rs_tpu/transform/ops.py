@@ -43,9 +43,13 @@ class FlowSpec:
     nuts-rs src/math/math.rs:262-313).
 
     ``forward(params, z) -> (q, logdet)`` maps the standard-normal space to
-    the parameter space; ``logdet`` is log|det dz/dq| at the resulting q
-    (the inverse-Jacobian convention used in the Hamiltonian energy
-    E = KE - (logp + logdet)).
+    the parameter space; ``logdet`` is **log|det dq/dz|**, the FORWARD
+    Jacobian log-determinant (``inverse`` returns the same quantity at the
+    given q).  That sign makes E = KE - (logp + logdet) target the correct
+    pushforward pi_z(z) = pi(F(z)) |det dF/dz|; supplying the negated
+    (inverse-Jacobian) value samples the wrong distribution with no error
+    raised.  The built-in flows follow this convention
+    (flows/coupling.py:17-19, unit-tested against autodiff Jacobians).
 
     ``init(key, dim, q0, g0) -> params``; ``update(key, params, draws,
     grads, logps, mask) -> params`` refits from collected warmup draws.

@@ -55,6 +55,35 @@ def test_dim_sharded_deterministic():
     np.testing.assert_array_equal(runs[0], runs[1])
 
 
+def test_dim_sharded_gradient_exact():
+    """The dim-sharded gradient of every dim_shardable model must equal the
+    unsharded gradient EXACTLY (up to reduction order): the local-gradient
+    psum trick cuts cross-shard chain-rule paths, so any nested-dsum logp
+    (a dsum result feeding per-element terms of another dsum) silently
+    biases the sampled posterior.  Regression for correlated_normal, whose
+    original nested form lost the -c*s term from remote shards."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh_2d(1, 8)
+    for model in (gaussian.correlated_normal(16),
+                  gaussian.normal_logp(16, mu=3.0)):
+        q = jnp.linspace(-2.0, 2.0, 16)
+        lp_ref, g_ref = jax.value_and_grad(model.logp_fn)(q)
+
+        def local(ql):
+            with dim_axis_ctx():
+                return jax.value_and_grad(model.logp_fn)(ql)
+
+        lp_sh, g_sh = jax.jit(shard_map(
+            local, mesh=mesh, in_specs=P(DIM_AXIS),
+            out_specs=(P(), P(DIM_AXIS)), check_vma=False))(q)
+        np.testing.assert_allclose(np.asarray(lp_sh), np.asarray(lp_ref),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                                   rtol=1e-12, err_msg=model.name)
+
+
 def test_dim_sharded_with_cross_chain_adaptation():
     """2-D mesh: psum over "chains" (adaptation pooling) composes with the
     per-leapfrog psums over "dim"."""
