@@ -22,12 +22,31 @@ reported per config in "detail".
 
 import json
 import os
+import re
 import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_ANSI = re.compile(r"\x1b\[[0-9;]*m")
+
+
+def _short_err(e, cap=400):
+    """One short, JSON-safe line for an exception: prefer the salient Mosaic /
+    XLA message over multi-kilobyte device-log reprs (a full repr once made
+    the bench's single JSON line unparseable — BENCH_r02)."""
+    s = _ANSI.sub("", str(e))
+    for pat in ("Mosaic failed to compile TPU kernel",
+                "RESOURCE_EXHAUSTED", "INVALID_ARGUMENT", "INTERNAL"):
+        i = s.find(pat)
+        if i >= 0:
+            line = s[i:].splitlines()[0]
+            return f"{type(e).__name__}: {line}"[:cap]
+    first = s.splitlines()[0] if s else ""
+    return f"{type(e).__name__}: {first}"[:cap]
 
 # Persistent compile cache: repeat runs skip the (tunnel-bound, ~2s/kernel)
 # TPU compilation entirely.
@@ -166,6 +185,7 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
     # tunnel bandwidth); a deployment with local PCIe DMA sees the kernel
     # rate.  Measured here so both ends of the range are on record.
     kernel_rate = float("nan")
+    kernel_rate_error = None
     try:
         from nuts_rs_tpu.sampler import _schedule_chunk
 
@@ -184,8 +204,8 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
         jax.block_until_ready(kstats)
         dt = time.monotonic() - t0
         kernel_rate = float(np.asarray(kstats["n_steps"]).sum()) / dt
-    except Exception:
-        pass
+    except Exception as e:
+        kernel_rate_error = _short_err(e)
 
     if name == "logreg_big":
         # Anchor at n=131072 single-core: dominated by the dense 131072x100
@@ -215,10 +235,71 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
         "vs_native_anchor": round(grad_evals_per_sec / anchor, 3),
         "platform": jax.devices()[0].platform,
     }
+    if kernel_rate_error is not None:
+        detail["kernel_rate_error"] = kernel_rate_error
+    if sampler._engine_fell_back:
+        detail["kernel"] = f"{kernel}->sync(fallback)"
     if true_mean is not None:
         detail["posterior_mean_abs_error"] = round(
             abs(float(draws.mean()) - true_mean), 4)
     return grad_evals_per_sec, detail
+
+
+def run_micro():
+    """Kernel-level microbenchmarks (reference: benches/sample.rs:126-188
+    times multiply/axpy/scalar_prods at d in {4,16,17,100,4567}).  Times the
+    hot device primitives at 1024 chains so per-kernel regressions are
+    visible between rounds, independent of the end-to-end configs."""
+    C = 1024
+    rows = []
+    for d in (4, 16, 100, 1000, 4567):
+        key = jax.random.key(0)
+        ks = jax.random.split(key, 6)
+        p, pg, m, mg, v, stds = (jax.random.normal(k, (C, d), jnp.float32)
+                                 for k in ks)
+        step = jnp.full((C, 1), 0.1, jnp.float32)
+
+        def leapfrog(q, g, vv):
+            v1 = vv + (step / 2.0) * g
+            q1 = q + step * v1
+            g1 = -q1  # iid-normal gradient: pure elementwise cost
+            v2 = v1 + (step / 2.0) * g1
+            return q1, g1, v2
+
+        def uturn(a, b, cc, dd):
+            # the 3 scalar products of the U-turn criterion (reference
+            # benches/sample.rs scalar_prods3), batched over chains
+            s1 = jnp.sum((a + b) * cc, axis=-1)
+            s2 = jnp.sum((a + b) * dd, axis=-1)
+            s3 = jnp.sum(cc * dd, axis=-1)
+            return s1, s2, s3
+
+        def lowrank_apply(x, U):
+            # low-rank affine F(x) = U @ (U^T x) scaled — the MXU-bound op
+            return x + (x @ U) @ U.T
+
+        U = jax.random.normal(ks[0], (d, min(8, d)), jnp.float32)
+        for name, fn, args in (
+                ("leapfrog", jax.jit(leapfrog), (p, pg, v)),
+                ("uturn_scalar_prods3", jax.jit(uturn), (p, pg, m, mg)),
+                ("lowrank_apply", jax.jit(lowrank_apply), (p, U))):
+            try:
+                out = fn(*args)
+                jax.block_until_ready(out)
+                n, t0 = 50, time.monotonic()
+                for _ in range(n):
+                    out = fn(*args)
+                jax.block_until_ready(out)
+                dt = (time.monotonic() - t0) / n
+                rows.append({"kernel": name, "dim": d, "chains": C,
+                             "usec_per_call": round(dt * 1e6, 2),
+                             "chain_calls_per_sec": round(C / dt, 1)})
+            except Exception as e:
+                rows.append({"kernel": name, "dim": d,
+                             "error": _short_err(e)})
+    return {"metric": "microbench", "value": len(rows), "unit": "kernels",
+            "vs_baseline": 1.0, "detail": {"micro": rows,
+                                           "platform": jax.devices()[0].platform}}
 
 
 def run_bench():
@@ -227,9 +308,11 @@ def run_bench():
     except Exception as e:
         # The headline must never die with the whole bench: if the fused
         # engine fails to compile on this chip/toolchain, fall back to the
-        # XLA sync kernel and report the error alongside.
+        # XLA sync kernel and report the error alongside.  (run_config
+        # itself already falls back via Sampler._try_engine_fallback; this
+        # catches anything that escapes even that.)
         head_rate, head = run_config("normal_d10", kernel="sync")
-        head["fused_engine_error"] = repr(e)[:500]
+        head["fused_engine_error"] = _short_err(e)
     grid = [head]
     side = [("normal_d1000", {}), ("logreg_d100", {}), ("mclmc_d10", {}),
             ("logreg_big", dict(num_chains=256, attempts=1))]
@@ -238,7 +321,7 @@ def run_bench():
             grid.append(run_config(name, num_tune=300, num_draws=400,
                                    **kw)[1])
         except Exception as e:  # a failing side config must not kill the bench
-            grid.append({"config": name, "error": repr(e)})
+            grid.append({"config": name, "error": _short_err(e)})
     return {
         "metric": "gradient_evals_per_sec_per_chip",
         "value": round(head_rate, 1),
@@ -249,5 +332,11 @@ def run_bench():
 
 
 if __name__ == "__main__":
-    result = run_bench()
+    try:
+        result = run_micro() if "--micro" in sys.argv else run_bench()
+    except Exception as e:
+        # The driver parses exactly one JSON line; emit one no matter what.
+        result = {"metric": "gradient_evals_per_sec_per_chip", "value": 0.0,
+                  "unit": "grad_evals/s", "vs_baseline": 0.0,
+                  "detail": {"error": _short_err(e)}}
     print(json.dumps(result))

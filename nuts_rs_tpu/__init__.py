@@ -20,6 +20,7 @@ from .models.model import Model
 from .adapt.flow import FlowAdaptSettings
 from .adapt.low_rank import LowRankSettings
 from .sampler import (
+    ChainFailedError,
     ChainProgress,
     ConvergenceStop,
     DiagMclmcSettings,
@@ -51,6 +52,7 @@ __all__ = [
     "ZarrConfig",
     "make_mesh",
     "AdaptScheduleOptions",
+    "ChainFailedError",
     "ChainProgress",
     "DiagMclmcSettings",
     "DiagNutsSettings",

@@ -255,8 +255,14 @@ def make_draw_step(model, strategy, config: ChainConfig):
         if config.store_divergences:
             stats["divergence_start"] = info.divergence.start_location
             stats["divergence_start_gradient"] = info.divergence.start_gradient
+            stats["divergence_start_momentum"] = info.divergence.start_momentum
             stats["divergence_end"] = info.divergence.end_location
+            stats["divergence_momentum"] = info.divergence.end_momentum
             stats["divergence_energy_error"] = info.divergence.energy_error
+            # i32 message-analog of the reference's logp_function_error /
+            # divergence message (hamiltonian.rs:26-55): 0 none, 1 energy,
+            # 2 non-finite logp, 3 non-finite gradient.
+            stats["divergence_reason"] = info.divergence.reason
         if config.store_mass_matrix:
             stats["mass_matrix_inv"] = state.transform.stds
             stats["transformation_mu"] = state.transform.mean
@@ -424,8 +430,14 @@ def make_mclmc_draw_step(model, strategy, config: ChainConfig, mopts):
         if config.store_divergences:
             stats["divergence_start"] = info.divergence.start_location
             stats["divergence_start_gradient"] = info.divergence.start_gradient
+            stats["divergence_start_momentum"] = info.divergence.start_momentum
             stats["divergence_end"] = info.divergence.end_location
+            stats["divergence_momentum"] = info.divergence.end_momentum
             stats["divergence_energy_error"] = info.divergence.energy_error
+            # i32 message-analog of the reference's logp_function_error /
+            # divergence message (hamiltonian.rs:26-55): 0 none, 1 energy,
+            # 2 non-finite logp, 3 non-finite gradient.
+            stats["divergence_reason"] = info.divergence.reason
         if config.store_mass_matrix:
             stats["mass_matrix_inv"] = state.transform.stds
             stats["transformation_mu"] = state.transform.mean

@@ -31,7 +31,7 @@ from ..dynamics.hamiltonian import (
     sample_momentum,
 )
 from ..dynamics.point import Point, point_where
-from ..parallel.axis import fold_dim_shard
+from ..parallel.axis import dsum, fold_dim_shard
 from ..transform.affine import AffineTransform
 from ..transform.ops import AFFINE_OPS
 from .nuts import DivergenceInfo, _empty_div_info
@@ -125,7 +125,8 @@ def mclmc_draw(
         steps=jnp.zeros((), jnp.int32),
         time=jnp.zeros((), dtype),
         diverged=jnp.asarray(False),
-        div_info=_empty_div_info(dim, dtype),
+        div_info=_empty_div_info(dim, dtype,
+                                 store_momentum=opts.store_divergences),
     )
 
     max_halvings = MAX_HALVINGS if opts.dynamic_step_size else 0
@@ -182,13 +183,26 @@ def mclmc_draw(
         pt_div = c.pt
 
         div = res.diverging
+        # Reason codes mirror kernels/nuts.py (DIV_REASON_*): non-finite
+        # logp/grad distinguished from the energy-threshold divergence.
+        nan_logp = ~jnp.isfinite(res.point.logp)
+        nan_grad = ~jnp.isfinite(dsum(res.point.zg))
+        reason = jnp.where(
+            div, jnp.where(nan_logp, jnp.int32(2),
+                           jnp.where(nan_grad, jnp.int32(3), jnp.int32(1))),
+            jnp.int32(0))
+        store_mom = c.div_info.start_momentum.shape[0] > 0
         div_info = DivergenceInfo(
             start_location=pt.q,
             start_gradient=pt.g,
+            start_momentum=pt.v if store_mom else c.div_info.start_momentum,
             end_location=res.point.q,
+            end_momentum=(res.point.v if store_mom
+                          else c.div_info.end_momentum),
             energy_error=res.energy_error,
             start_idx=pt.idx,
             end_idx=res.point.idx,
+            reason=reason,
         )
         div_info = jax.tree.map(
             lambda new, old: jnp.where(div & give_up, new, old),

@@ -77,15 +77,36 @@ class NutsOptions:
     collect_orbit: bool = False
 
 
+# DivergenceInfo.reason codes — the fixed-shape analog of the reference's
+# ``logp_function_error`` / divergence message strings
+# (src/dynamics/hamiltonian.rs:26-55): 0 = no divergence, 1 = energy error
+# exceeded max_energy_error, 2 = non-finite logp at the new point,
+# 3 = non-finite gradient at the new point.
+DIV_REASON_NONE = 0
+DIV_REASON_ENERGY = 1
+DIV_REASON_NAN_LOGP = 2
+DIV_REASON_NAN_GRAD = 3
+
+
 class DivergenceInfo(NamedTuple):
-    """Fixed-shape divergence forensics (nuts-rs ``src/dynamics/hamiltonian.rs:26-55``)."""
+    """Fixed-shape divergence forensics (nuts-rs ``src/dynamics/hamiltonian.rs:26-55``).
+
+    ``start_momentum``/``end_momentum`` mirror the reference's
+    ``start_momentum``/``end_momentum`` fields; they are captured only when
+    ``NutsOptions.store_divergences`` is set (shape [0] otherwise — the two
+    extra [d] buffers cost loop-carry bandwidth).  ``reason`` is the i32
+    message-analog (see DIV_REASON_*), always captured.
+    """
 
     start_location: jax.Array  # [d]
     start_gradient: jax.Array  # [d]
+    start_momentum: jax.Array  # [d] ([0] unless store_divergences)
     end_location: jax.Array    # [d]
+    end_momentum: jax.Array    # [d] ([0] unless store_divergences)
     energy_error: jax.Array    # []
     start_idx: jax.Array       # [] i32
     end_idx: jax.Array         # [] i32
+    reason: jax.Array          # [] i32 (DIV_REASON_*)
 
 
 class NutsInfo(NamedTuple):
@@ -158,15 +179,19 @@ class _Carry(NamedTuple):
     orbit_err: jax.Array
 
 
-def _empty_div_info(dim, dtype):
+def _empty_div_info(dim, dtype, store_momentum=False):
     nan = jnp.full(dim, jnp.nan, dtype)
+    mom = nan if store_momentum else jnp.zeros(0, dtype)
     return DivergenceInfo(
         start_location=nan,
         start_gradient=nan,
+        start_momentum=mom,
         end_location=nan,
+        end_momentum=mom,
         energy_error=jnp.asarray(jnp.nan, dtype),
         start_idx=jnp.zeros((), jnp.int32),
         end_idx=jnp.zeros((), jnp.int32),
+        reason=jnp.zeros((), jnp.int32),
     )
 
 
@@ -220,7 +245,8 @@ def _init_tree_carry(key, pt0, step_size, opts: NutsOptions, rand_dir):
         sum_accept=jnp.zeros((), dtype),
         sum_accept_sym=jnp.zeros((), dtype),
         max_energy_error=jnp.zeros((), dtype),
-        div_info=_empty_div_info(dim, dtype),
+        div_info=_empty_div_info(dim, dtype,
+                                 store_momentum=opts.store_divergences),
         orbit_q=jnp.zeros((_orbit_cap(opts), dim), dtype),
         orbit_g=jnp.zeros((_orbit_cap(opts), dim), dtype),
         orbit_logp=jnp.zeros(_orbit_cap(opts), dtype),
@@ -268,13 +294,29 @@ def _tree_body(c: _Carry, transform, logp_grad_fn, opts: NutsOptions,
                   c.max_energy_error),
     )
 
+    # Reason classification (the reference's logp_function_error / message,
+    # hamiltonian.rs:26-55): non-finite logp and gradient are distinguished
+    # from a plain energy-threshold divergence.
+    nan_logp = ~jnp.isfinite(new_pt.logp)
+    nan_grad = ~jnp.isfinite(dsum(new_pt.zg))
+    reason = jnp.where(
+        diverged,
+        jnp.where(nan_logp, jnp.int32(DIV_REASON_NAN_LOGP),
+                  jnp.where(nan_grad, jnp.int32(DIV_REASON_NAN_GRAD),
+                            jnp.int32(DIV_REASON_ENERGY))),
+        jnp.int32(DIV_REASON_NONE))
+    store_mom = c.div_info.start_momentum.shape[0] > 0
     div_info = DivergenceInfo(
         start_location=c.p_edge.q,
         start_gradient=c.p_edge.g,
+        start_momentum=(c.p_edge.v if store_mom
+                        else c.div_info.start_momentum),
         end_location=new_pt.q,
+        end_momentum=new_pt.v if store_mom else c.div_info.end_momentum,
         energy_error=res.energy_error,
         start_idx=c.p_edge.idx,
         end_idx=new_pt.idx,
+        reason=reason,
     )
     div_info = jax.tree.map(
         lambda new, old: jnp.where(diverged, new, old), div_info, c.div_info)

@@ -266,8 +266,23 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
         v0 = _normals(VS)
         ke0 = 0.5 * csum(v0 * v0)
 
-        zb = jnp.zeros(SS, f32)
-        ib = jnp.zeros(SS, jnp.int32)
+        # Non-replicated [SS] zeros for the while-loop carry.  jnp.zeros is a
+        # splat constant that Mosaic lays out replicated ({*,*}); the loop
+        # body produces genuinely per-lane values and the carry relayout
+        # concrete -> replicated is rejected ("Not implemented: Sublane
+        # broadcast" in the cl layout / "Lane broadcast" in ld).  A value
+        # varying along BOTH sublanes and lanes (sum of two iotas) gets the
+        # concrete {0,0} layout; clamping to zero keeps it.  Same trick as
+        # make_warmup_kernel below (where it was load-bearing from day one).
+        if LD:
+            _mix = (jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
+                    + jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1))
+            ib = jnp.minimum(_mix[:, 0:1], 0)
+        else:
+            _mix = (jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
+                    + jax.lax.broadcasted_iota(jnp.int32, (8, B), 1))
+            ib = jnp.minimum(_mix[0:1], 0)
+        zb = ib.astype(f32)
         # stack-row index grid, shaped to mask BOTH the vector stacks
         # ((D+1,) + VS via broadcast) and the scalar stacks ((D+1,) + SS)
         rows_s = jax.lax.broadcasted_iota(jnp.int32, (D + 1,) + SS, 0)
@@ -289,7 +304,7 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             dm_q=qq0, dm_ld=ld0,
             ds_z=z0, ds_zg=zg0, ds_logp=logp0, ds_ke=ke0, ds_idx=ib,
             ds_q=qq0, ds_ld=ld0,
-            logw_m=zb, logw_s=jnp.full(SS, -jnp.inf, f32),
+            logw_m=zb, logw_s=zb + f32(-jnp.inf),
             depth=ib, leaf=ib, direction=rand_dir(),
             # stats accumulators
             n_steps=ib, s_acc=zb, s_sym=zb, mx_err=zb,

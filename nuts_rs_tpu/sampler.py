@@ -14,6 +14,7 @@ import contextlib
 import dataclasses
 import functools
 import time
+import warnings
 from functools import partial
 from typing import Any, Mapping, Optional
 
@@ -449,6 +450,31 @@ class ChainProgress:
     step_size: float = 0.0
     runtime: float = 0.0
     divergent_draws: list = dataclasses.field(default_factory=list)
+    # Unrecoverable-failure surface (reference: LogpError::is_recoverable,
+    # src/math/math.rs:9-13; chain abort src/sampler.rs:1202-1207): set by
+    # the sampler's between-chunk failure detector.
+    failed: bool = False
+    error: Optional[str] = None
+
+
+class ChainFailedError(RuntimeError):
+    """A chain's logp function failed unrecoverably (every draw diverges and
+    the chain never moves — e.g. logp permanently returns NaN).
+
+    Mirror of the reference's unrecoverable ``LogpError`` path
+    (src/math/math.rs:9-13): sampling stops, traces are FINALIZED first
+    (src/sampler.rs:1452-1457 runs finalization even when a chain failed),
+    and the partial results ride on the exception.
+
+    Attributes:
+        trace: the finalized partial trace (all chains, draws so far).
+        chains: indices of the failed chains.
+    """
+
+    def __init__(self, msg: str, trace=None, chains=()):
+        super().__init__(msg)
+        self.trace = trace
+        self.chains = list(chains)
 
 
 def _strategy_for(settings, config: ChainConfig):
@@ -513,6 +539,7 @@ class Sampler:
         mesh=None,
         profile_dir: Optional[str] = None,
         stop_when: Optional[ConvergenceStop] = None,
+        fail_after: Optional[int] = 100,
     ):
         # Mesh execution (SURVEY.md §2.12): shard the chain axis over a
         # ``jax.sharding.Mesh`` with ``shard_map`` so chains scale across
@@ -642,6 +669,59 @@ class Sampler:
                 f"{bad.tolist()[:10]} (logp is not finite after retries); "
                 "provide init_positions or check the model")
 
+        self._precision = precision
+        self._engine_fell_back = False
+        self._build_phase_runners()
+
+        if model.expand_fn is not None:
+            def expand_chunk(keys, qs):
+                return jax.vmap(jax.vmap(model.expand))(keys, qs)
+
+            self._expand_chunk = jax.jit(expand_chunk)
+        else:
+            self._expand_chunk = None
+
+        self._next_draw = 0
+        self._total = settings.num_tune + settings.num_draws
+        self._expand_key = jax.random.key(settings.seed + 1)
+        self._paused = False
+        # Opt-in device profiling (SURVEY.md §5 tracing): each chunk runs
+        # under a jax profiler trace written to profile_dir, viewable in
+        # TensorBoard/Perfetto.  The reference's only observability is
+        # per-draw stats; the per-draw stats pipeline here is unchanged.
+        self._profile_dir = profile_dir
+        # Convergence early-stop (ConvergenceStop): posterior draws of
+        # stop_when.var accumulate host-side per chunk; `converged` flips
+        # once the criteria hold and run()/wait_timeout() stop launching.
+        self.stop_when = stop_when
+        self.converged = False
+        self._post_buffer: list = []
+        self._last_callback = 0.0
+        # Rate-limit the progress callback like the reference's
+        # ProgressCallback (src/sampler.rs:1262-1265,1340-1363).
+        self.progress_rate_seconds = 0.5
+        # Unrecoverable-error detection (reference: LogpError::is_recoverable,
+        # src/math/math.rs:9-13; abort plumbing src/sampler.rs:1202-1207).
+        # The batched kernels turn every logp failure into a divergence; a
+        # PERMANENT failure is recognized between chunks as `fail_after`
+        # consecutive draws that all diverged while the position never moved
+        # (a NaN-logp chain can never accept a proposal).  None disables.
+        self.fail_after = fail_after
+        self._div_streak = np.zeros(settings.num_chains, np.int64)
+        self._last_pos: Optional[np.ndarray] = None
+        self._failed_chains: list = []
+
+    def _build_phase_runners(self):
+        """(Re)build the per-phase jitted runners from ``self.settings``.
+
+        Called from ``__init__`` and again by :meth:`_try_engine_fallback`
+        when a fused Pallas engine fails to compile/launch on the local
+        hardware — the rebuilt runners use the XLA sync kernel, so one bad
+        Mosaic lowering can never take a whole run down.
+        """
+        settings, model, mesh = self.settings, self.model, self.mesh
+        precision = self._precision
+
         # Phases: draw-index ranges with their own compiled runner (MCLMC's
         # Euclidean -> Microcanonical switch and the async posterior kernel
         # are host-known boundaries).  Runners trace under the configured
@@ -723,40 +803,36 @@ class Sampler:
         jitted: dict[int, Any] = {}
         self._phase_runners = []
         for i, (start, end, runner) in enumerate(settings.build_phases(
-                model, self.strategy, config)):
+                model, self.strategy, self.config)):
             if id(runner) not in jitted:
                 probe = (self._probe_runners[i]
                          if i < len(self._probe_runners) else None)
                 jitted[id(runner)] = jit_prec(wrap_mesh(runner, probe))
             self._phase_runners.append((start, end, jitted[id(runner)]))
 
-        if model.expand_fn is not None:
-            def expand_chunk(keys, qs):
-                return jax.vmap(jax.vmap(model.expand))(keys, qs)
+    def _try_engine_fallback(self, err: Exception) -> bool:
+        """After a fused-engine (Pallas) failure, rebuild the runners on the
+        XLA sync kernel and return True; False if no fallback applies.
 
-            self._expand_chunk = jax.jit(expand_chunk)
-        else:
-            self._expand_chunk = None
-
-        self._next_draw = 0
-        self._total = settings.num_tune + settings.num_draws
-        self._expand_key = jax.random.key(settings.seed + 1)
-        self._paused = False
-        # Opt-in device profiling (SURVEY.md §5 tracing): each chunk runs
-        # under a jax profiler trace written to profile_dir, viewable in
-        # TensorBoard/Perfetto.  The reference's only observability is
-        # per-draw stats; the per-draw stats pipeline here is unchanged.
-        self._profile_dir = profile_dir
-        # Convergence early-stop (ConvergenceStop): posterior draws of
-        # stop_when.var accumulate host-side per chunk; `converged` flips
-        # once the criteria hold and run()/wait_timeout() stop launching.
-        self.stop_when = stop_when
-        self.converged = False
-        self._post_buffer: list = []
-        self._last_callback = 0.0
-        # Rate-limit the progress callback like the reference's
-        # ProgressCallback (src/sampler.rs:1262-1265,1340-1363).
-        self.progress_rate_seconds = 0.5
+        A Mosaic lowering failure surfaces at compile time — before any
+        buffer donation — so ``self.state`` is still live and the chunk can
+        simply be retried on the rebuilt runners.  One-shot: a second
+        failure propagates."""
+        kind = getattr(self.settings, "posterior_kernel", "sync")
+        if kind not in ("pallas", "async") or self._engine_fell_back:
+            return False
+        if any(getattr(x, "is_deleted", lambda: False)()
+               for x in jax.tree.leaves(self.state)):
+            return False  # donated mid-execution; cannot replay safely
+        warnings.warn(
+            f"fused {kind!r} engine failed on this device "
+            f"({type(err).__name__}: {str(err)[:200]}); falling back to "
+            "the XLA sync kernel", RuntimeWarning)
+        self.settings = dataclasses.replace(
+            self.settings, posterior_kernel="sync")
+        self._engine_fell_back = True
+        self._build_phase_runners()
+        return True
 
     @property
     def finished(self) -> bool:
@@ -779,6 +855,18 @@ class Sampler:
         Splitting the two lets :meth:`run` overlap chunk N's device->host
         streaming with chunk N+1's device compute."""
         lo = self._next_draw
+        try:
+            return self._launch_chunk_at(lo)
+        except Exception as e:
+            # A fused engine that fails to compile/launch on this chip falls
+            # back to the XLA sync kernel ONCE (phase boundaries and flags
+            # are recomputed against the rebuilt runners); anything else
+            # propagates.
+            if not self._try_engine_fallback(e):
+                raise
+            return self._launch_chunk_at(lo)
+
+    def _launch_chunk_at(self, lo):
         start, end, runner = next(
             (s, e, r) for s, e, r in self._phase_runners if s <= lo < e)
         hi = min(lo + self.chunk_size, self._total, end)
@@ -826,6 +914,8 @@ class Sampler:
                           else np.concatenate(self._post_buffer, axis=1))
                 self.converged = self.stop_when.satisfied(series)
         self._update_progress(lo, stats, tuning, elapsed)
+        if self.fail_after is not None:
+            self._detect_failed_chains(stats)
         if self.progress_callback is not None:
             now = time.monotonic()
             if (now - self._last_callback >= self.progress_rate_seconds
@@ -856,6 +946,59 @@ class Sampler:
             prog.step_size = float(stats["step_size"][c, -1])
             prog.runtime += elapsed * (steps_per_chain[c] / max_steps)
 
+    def _detect_failed_chains(self, stats) -> None:
+        """Between-chunk unrecoverable-failure detector (see ``fail_after``).
+
+        A chain accumulates a "stuck" streak over draws that BOTH diverged
+        and left the position bit-identical to the previous draw; any move
+        or non-divergent draw resets it.  Crossing ``fail_after`` marks the
+        chain failed in :class:`ChainProgress`; :meth:`run` /
+        :meth:`wait_timeout` then finalize the traces and raise
+        :class:`ChainFailedError` (reference: src/sampler.rs:1202-1207 stops
+        the chain, 1452-1457 still finalizes every trace).
+        """
+        pos = np.asarray(stats["position"])          # [C, k, d]
+        div = np.asarray(stats["diverging"]).astype(bool)  # [C, k]
+        k = div.shape[1]
+        if self._last_pos is not None:
+            seq = np.concatenate([self._last_pos[:, None], pos], axis=1)
+            moved = np.any(seq[:, 1:] != seq[:, :-1], axis=-1)   # [C, k]
+        else:
+            moved = np.any(pos[:, 1:] != pos[:, :-1], axis=-1)
+            # first draw of the run: no predecessor — count as moved
+            moved = np.concatenate(
+                [np.ones((pos.shape[0], 1), bool), moved], axis=1)
+        self._last_pos = pos[:, -1].copy()
+        stuck = div & ~moved                                     # [C, k]
+        ok = ~stuck
+        has_ok = ok.any(axis=1)
+        last_ok = np.where(has_ok, k - 1 - np.argmax(ok[:, ::-1], axis=1), -1)
+        self._div_streak = np.where(
+            has_ok, k - 1 - last_ok, self._div_streak + k)
+        newly = np.nonzero((self._div_streak >= self.fail_after)
+                           & ~np.array([p.failed for p in self.progress]))[0]
+        for c in newly.tolist():
+            self.progress[c].failed = True
+            self.progress[c].error = (
+                f"chain {c}: logp function appears permanently failing — "
+                f"{int(self._div_streak[c])} consecutive divergent draws "
+                "with no accepted move (unrecoverable; see "
+                "ChainFailedError)")
+            self._failed_chains.append(c)
+
+    def _raise_if_failed(self) -> None:
+        if not self._failed_chains:
+            return
+        self.flush()
+        trace = self.trace.finalize()
+        chains = list(self._failed_chains)
+        msgs = "; ".join(
+            str(self.progress[c].error) for c in chains[:3])
+        raise ChainFailedError(
+            f"{len(chains)} chain(s) failed unrecoverably: {msgs}"
+            + (" ..." if len(chains) > 3 else ""),
+            trace=trace, chains=chains)
+
     def pause(self) -> None:
         """Stop launching further chunks from :meth:`run` (the reference's
         chain pause commands, src/sampler.rs:1469-1490; granularity here is
@@ -871,7 +1014,8 @@ class Sampler:
         # writes overlap the next chunk's compute instead of serializing
         # with it.
         pending = None
-        while not self.finished and not self.converged:
+        while (not self.finished and not self.converged
+               and not self._failed_chains):
             if self._paused:
                 break
             nxt = self._launch_chunk()
@@ -880,6 +1024,7 @@ class Sampler:
             pending = nxt
         if pending is not None:
             self._finish_chunk(*pending)
+        self._raise_if_failed()
         if self.converged and not self.finished:
             # Early convergence stop: finalize the shorter trace.
             self.flush()
@@ -902,12 +1047,14 @@ class Sampler:
         """
         deadline = time.monotonic() + timeout
         while not self.finished:
+            self._raise_if_failed()
             if self.converged:
                 self.flush()
                 return self.trace.finalize()
             if self._paused or time.monotonic() >= deadline:
                 return None
             self.run_next_chunk()
+        self._raise_if_failed()
         return self.trace.finalize()
 
     def abort(self) -> Any:
@@ -964,12 +1111,14 @@ def sample(
     progress_callback=None,
     mesh=None,
     stop_when: Optional[ConvergenceStop] = None,
+    fail_after: Optional[int] = 100,
 ) -> Trace:
     """Sample from ``model`` — the TPU analog of ``Sampler::new`` + ``wait``.
 
     Returns an in-memory :class:`Trace` unless a different storage backend is
     given.  ``stop_when`` enables convergence-based early stopping (see
-    :class:`ConvergenceStop`).
+    :class:`ConvergenceStop`); ``fail_after`` configures the
+    unrecoverable-chain detector (see :class:`Sampler`, :class:`ChainFailedError`).
     """
     settings = settings or NutsSettings()
     if seed is not None:
@@ -977,7 +1126,7 @@ def sample(
     sampler = Sampler(
         model, settings, storage=storage, dtype=dtype, chunk_size=chunk_size,
         init_positions=init_positions, progress_callback=progress_callback,
-        mesh=mesh, stop_when=stop_when)
+        mesh=mesh, stop_when=stop_when, fail_after=fail_after)
     return sampler.run()
 
 

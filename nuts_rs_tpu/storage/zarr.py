@@ -230,7 +230,10 @@ class ZarrStorage(TraceStorage):
                 ev = {"chain": c, "draw": start_draw + int(j)}
                 for key in ("divergence_start", "divergence_end",
                             "divergence_start_gradient",
-                            "divergence_energy_error"):
+                            "divergence_start_momentum",
+                            "divergence_momentum",
+                            "divergence_energy_error",
+                            "divergence_reason"):
                     if key in stats:
                         ev[key] = np.asarray(stats[key])[c, j]
                 self._events["divergence"].append(ev)

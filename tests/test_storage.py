@@ -158,3 +158,56 @@ def test_zarr_object_store_url():
     pos = read_array(path + "/posterior/position")
     assert pos.shape == (2, 40, 3)
     assert np.isfinite(pos).all()
+
+
+def test_divergence_event_forensics(tmp_path):
+    """Divergence events carry momentum + reason (the fixed-shape analog of
+    the reference's DivergenceInfo momentum fields and logp_function_error
+    message, src/dynamics/hamiltonian.rs:26-55)."""
+    model = gaussian.normal_logp(4, mu=0.0)
+    # A tiny max_energy_error makes (nearly) every draw diverge with
+    # reason=1 (energy) deterministically.
+    settings = nt.DiagNutsSettings(
+        num_tune=20, num_draws=20, num_chains=2, seed=0,
+        store_divergences=True, max_energy_error=1e-8)
+    path = str(tmp_path / "d.zarr")
+    nt.sample(model, settings, storage=ZarrConfig(path, chunk_draws=16),
+              chunk_size=20, fail_after=None)
+
+    stats_dir = os.path.join(path, "sample_stats")
+    mom = read_array(os.path.join(stats_dir, "divergence_divergence_momentum"))
+    smom = read_array(
+        os.path.join(stats_dir, "divergence_divergence_start_momentum"))
+    reason = read_array(
+        os.path.join(stats_dir, "divergence_divergence_reason"))
+    assert mom.ndim == 3 and mom.shape[0] == 2 and mom.shape[2] == 4
+    assert smom.shape == mom.shape
+    # at least one real event with finite momenta and an energy reason code
+    valid = reason >= 1
+    assert valid.any()
+    assert np.isfinite(mom[valid]).all()
+    assert np.isfinite(smom[valid]).all()
+    assert set(np.unique(reason[valid]).tolist()) <= {1, 2, 3}
+
+
+def test_divergence_reason_nan_logp():
+    """A NaN-wall logp is classified reason=2 (non-finite logp)."""
+    import jax.numpy as jnp
+    from nuts_rs_tpu.models.model import Model
+    from nuts_rs_tpu.parallel.axis import dsum
+
+    def logp(q):
+        base = -0.5 * dsum(jnp.square(q))
+        return jnp.where(jnp.max(jnp.abs(q)) > 0.5, jnp.nan, base)
+
+    model = Model(logp_fn=logp, dim=3, name="wall")
+    settings = nt.DiagNutsSettings(
+        num_tune=30, num_draws=30, num_chains=2, seed=1,
+        store_divergences=True)
+    sampler = nt.Sampler(model, settings, chunk_size=30, fail_after=None,
+                         init_positions=np.zeros((2, 3)))
+    trace = sampler.run()
+    reasons = np.concatenate([
+        trace.warmup_sample_stats["divergence_reason"],
+        trace.sample_stats["divergence_reason"]], axis=1)
+    assert (reasons == 2).any()  # NaN-logp divergences classified as such
