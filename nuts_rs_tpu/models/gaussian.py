@@ -181,25 +181,45 @@ def logistic_regression(n_data: int = 1000, dim: int = 100, seed: int = 0) -> Mo
     # multiple of tile_rows with ZERO-WEIGHT rows (w=0) so the kernel never
     # sees a partial tile and padding contributes exactly nothing to either
     # the log-likelihood or the gradient.
+    #
+    # Mosaic requires every DMA'd window to be LANE-ALIGNED (trailing dim a
+    # multiple of 128), so (x, y, w) are packed into ONE [n, PCOLS] array:
+    # columns [0, dim) are x, column dim is y, column dim+1 is w, the rest
+    # zero.  One aligned DMA per tile replaces three unaligned ones, and the
+    # y/w/x unpacking runs as cheap masked vector ops on the loaded tile.
     tile_rows = 512 if n_data >= 512 else 8
     n_pad = (-n_data) % tile_rows
-    x_p = np.concatenate([x, np.zeros((n_pad, dim), np.float32)], axis=0)
-    y_p = np.concatenate([y, np.zeros(n_pad, np.float32)])[:, None]
-    w_p = np.concatenate([np.ones(n_data, np.float32),
-                          np.zeros(n_pad, np.float32)])[:, None]
+    n_rows = n_data + n_pad
+    pcols = -(-(dim + 2) // 128) * 128
+    packed = np.zeros((n_rows, pcols), np.float32)
+    packed[:n_data, :dim] = x
+    packed[:n_data, dim] = y
+    packed[:n_data, dim + 1] = 1.0  # weight column: padding rows stay 0
 
-    def tile_eval(q, xt, yt, wt):
-        # q: [d, B]; xt: [T, d]; yt/wt: [T, 1].  Two MXU contractions per
-        # tile — the forward matvec and the closed-form gradient
-        # back-contraction reuse the SAME VMEM-resident tile.
-        logits = jnp.dot(xt, q, preferred_element_type=jnp.float32)  # [T, B]
+    def tile_eval(q, data):
+        # q: [d, B]; data: [T, PCOLS].  Two MXU contractions per tile — the
+        # forward matvec and the closed-form gradient back-contraction reuse
+        # the SAME VMEM-resident tile.  q is zero-extended to PCOLS rows so
+        # the packed y/w columns contract to exactly zero in the forward
+        # matmul; the back-contraction's extra rows are sliced off.
+        T = data.shape[0]
+        B = q.shape[1]
+        q_ext = jnp.concatenate(
+            [q, jnp.zeros((pcols - dim, B), jnp.float32)], axis=0)
+        logits = jnp.dot(data, q_ext,
+                         preferred_element_type=jnp.float32)        # [T, B]
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, pcols), 1)
+        yt = jnp.sum(jnp.where(col == dim, data, 0.0),
+                     axis=1, keepdims=True)                          # [T, 1]
+        wt = jnp.sum(jnp.where(col == dim + 1, data, 0.0),
+                     axis=1, keepdims=True)                          # [T, 1]
         ll = jnp.sum(wt * (yt * logits - jnp.logaddexp(0.0, logits)),
                      axis=0, keepdims=True)                          # [1, B]
         r = wt * (yt - 1.0 / (1.0 + jnp.exp(-logits)))               # [T, B]
-        grad = jax.lax.dot_general(
-            xt, r, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                      # [d, B]
-        return ll, grad
+        grad_ext = jax.lax.dot_general(
+            data, r, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                      # [PCOLS, B]
+        return ll, grad_ext[:dim]
 
     def finalize(q, lp_acc, g_acc):
         return (lp_acc[0] - 0.5 * jnp.sum(q * q, axis=0), g_acc - q)
@@ -208,5 +228,5 @@ def logistic_regression(n_data: int = 1000, dim: int = 100, seed: int = 0) -> Mo
                  pallas_spec=(logp_with_args, (x, y[:, None])),
                  pallas_logp_grad=(logp_grad_batched, (x, y[:, None])),
                  pallas_stream=StreamSpec(
-                     args=(x_p, y_p, w_p), tile_rows=tile_rows,
+                     args=(packed,), tile_rows=tile_rows,
                      tile_eval=tile_eval, finalize=finalize))

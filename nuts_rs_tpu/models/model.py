@@ -53,6 +53,21 @@ class StreamSpec:
         for a in self.args:
             if a.shape[0] != n:
                 raise ValueError("all stream args must share the row axis")
+            # Mosaic requires DMA windows to be lane-aligned: an HBM->VMEM
+            # tile copy of a [T, c] window fails to compile on real TPUs
+            # unless c is a multiple of 128 ("Slice shape along dimension 1
+            # must be aligned to tiling").  Interpret mode (CPU tests) does
+            # not enforce this, so warn loudly here instead of failing late
+            # on hardware.  Pack columns into one zero-padded array (see
+            # models/gaussian.py logistic_regression) to align.
+            if a.ndim >= 2 and a.shape[-1] % 128 != 0:
+                import warnings
+
+                warnings.warn(
+                    f"StreamSpec arg with trailing dim {a.shape[-1]} is not "
+                    "128-lane aligned; the fused stream kernel will fail to "
+                    "compile on real TPUs (zero-pad the trailing dim to a "
+                    "multiple of 128)", stacklevel=2)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -421,6 +421,13 @@ class ConvergenceStop:
     # diagnostic cost for huge-d models
     check_dims: Optional[int] = None
     var: str = "position"
+    # Hard cap on the host-side diagnostic buffer (draws per chain): beyond
+    # it the buffered series is progressively THINNED by 2 (keeping every
+    # stride-th draw), so memory stays O(max_buffer_draws * chains * dims)
+    # instead of duplicating the whole trace next to the storage backend.
+    # Thinning only discards information, so ESS of the thinned series
+    # UNDERESTIMATES the true ESS — the stop stays conservative.
+    max_buffer_draws: int = 4096
 
     def satisfied(self, x) -> bool:
         from .diagnostics import ess_bulk, split_rhat
@@ -540,6 +547,7 @@ class Sampler:
         profile_dir: Optional[str] = None,
         stop_when: Optional[ConvergenceStop] = None,
         fail_after: Optional[int] = 100,
+        max_chains_per_launch: Optional[int] = None,
     ):
         # Mesh execution (SURVEY.md §2.12): shard the chain axis over a
         # ``jax.sharding.Mesh`` with ``shard_map`` so chains scale across
@@ -696,6 +704,8 @@ class Sampler:
         self.stop_when = stop_when
         self.converged = False
         self._post_buffer: list = []
+        self._post_thin = 1
+        self._post_seen = 0
         self._last_callback = 0.0
         # Rate-limit the progress callback like the reference's
         # ProgressCallback (src/sampler.rs:1262-1265,1340-1363).
@@ -710,6 +720,27 @@ class Sampler:
         self._div_streak = np.zeros(settings.num_chains, np.int64)
         self._last_pos: Optional[np.ndarray] = None
         self._failed_chains: list = []
+        # Chain-batch splitting (workaround for models where one huge batched
+        # launch trips device faults — e.g. the cumsum-heavy stochastic
+        # volatility model crashes libtpu at 64 chains in one launch while
+        # 2x32-chain launches run fine; BASELINE.md "Stochastic volatility").
+        # Each chunk runs ceil(C / max_chains_per_launch) sequential device
+        # launches over chain groups; per-chain RNG/state make the split
+        # bit-transparent for independent-chain settings.
+        if max_chains_per_launch is not None:
+            if mesh is not None:
+                raise ValueError(
+                    "max_chains_per_launch is incompatible with mesh "
+                    "execution (shard the chain axis instead)")
+            if getattr(settings, "cross_chain_adaptation", False):
+                raise ValueError(
+                    "max_chains_per_launch would pool adaptation within "
+                    "launch groups only; disable cross_chain_adaptation")
+            if settings.num_chains % max_chains_per_launch:
+                raise ValueError(
+                    f"num_chains ({settings.num_chains}) must be a multiple "
+                    f"of max_chains_per_launch ({max_chains_per_launch})")
+        self.max_chains_per_launch = max_chains_per_launch
 
     def _build_phase_runners(self):
         """(Re)build the per-phase jitted runners from ``self.settings``.
@@ -875,12 +906,46 @@ class Sampler:
         t0 = time.monotonic()
         if self._profile_dir is not None:
             with jax.profiler.trace(self._profile_dir):
-                self.state, stats = runner(self.state, flags)
+                self.state, stats = self._run_runner(runner, flags)
                 jax.block_until_ready(stats)
         else:
-            self.state, stats = runner(self.state, flags)
+            self.state, stats = self._run_runner(runner, flags)
         self._next_draw = hi
         return lo, hi, stats, t0
+
+    def _run_runner(self, runner, flags):
+        """One chunk's device computation — split into sequential chain-group
+        launches when ``max_chains_per_launch`` is set (see __init__)."""
+        B = self.max_chains_per_launch
+        C = self.settings.num_chains
+        if B is None or B >= C:
+            return runner(self.state, flags)
+
+        def split(x, g):
+            # per-chain leaves carry a leading [C] axis; scalars (draw_idx)
+            # are launch-invariant — but must be COPIED per group, since the
+            # runner donates its input buffers and the same buffer cannot be
+            # donated twice
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == C:
+                return x[g * B:(g + 1) * B]
+            return jnp.array(x, copy=True)
+
+        def join(*xs):
+            if getattr(xs[0], "ndim", 0) >= 1 and xs[0].shape[0] == B:
+                return jnp.concatenate(xs, axis=0)
+            return xs[0]
+
+        out_states, out_stats = [], []
+        for g in range(C // B):
+            sub = jax.tree.map(lambda x: split(x, g), self.state)
+            s2, st = runner(sub, flags)
+            out_states.append(s2)
+            out_stats.append(st)
+        state = jax.tree.map(join, *out_states)
+        # stats are [draws, chains, ...]: chain axis is 1
+        stats = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
+                             *out_stats)
+        return state, stats
 
     def _finish_chunk(self, lo, hi, stats, t0):
         # Device -> host; [k, C, ...] -> [C, k, ...]
@@ -909,9 +974,23 @@ class Sampler:
                 if (self.stop_when.check_dims is not None
                         and post.ndim == 3):
                     post = post[..., : self.stop_when.check_dims]
-                self._post_buffer.append(post.copy())
+                # Keep only every _post_thin-th posterior draw (aligned on
+                # the GLOBAL posterior index so thinning is phase-coherent
+                # across chunks), then double the stride whenever the buffer
+                # outgrows max_buffer_draws.
+                thin = self._post_thin
+                idx = np.arange(self._post_seen,
+                                self._post_seen + post.shape[1])
+                self._post_seen += post.shape[1]
+                keep = (idx % thin) == 0
+                if keep.any():
+                    self._post_buffer.append(post[:, keep].copy())
                 series = (self._post_buffer[0] if len(self._post_buffer) == 1
                           else np.concatenate(self._post_buffer, axis=1))
+                while series.shape[1] > self.stop_when.max_buffer_draws:
+                    series = series[:, ::2]
+                    self._post_thin *= 2
+                    self._post_buffer = [series]
                 self.converged = self.stop_when.satisfied(series)
         self._update_progress(lo, stats, tuning, elapsed)
         if self.fail_after is not None:
@@ -1087,6 +1166,8 @@ class Sampler:
         # `converged` would make run() return without sampling.
         self.converged = False
         self._post_buffer = []
+        self._post_thin = 1
+        self._post_seen = 0
 
     def inspect(self):
         return self.trace.inspect()
@@ -1112,6 +1193,7 @@ def sample(
     mesh=None,
     stop_when: Optional[ConvergenceStop] = None,
     fail_after: Optional[int] = 100,
+    max_chains_per_launch: Optional[int] = None,
 ) -> Trace:
     """Sample from ``model`` — the TPU analog of ``Sampler::new`` + ``wait``.
 
@@ -1126,7 +1208,8 @@ def sample(
     sampler = Sampler(
         model, settings, storage=storage, dtype=dtype, chunk_size=chunk_size,
         init_positions=init_positions, progress_callback=progress_callback,
-        mesh=mesh, stop_when=stop_when, fail_after=fail_after)
+        mesh=mesh, stop_when=stop_when, fail_after=fail_after,
+        max_chains_per_launch=max_chains_per_launch)
     return sampler.run()
 
 

@@ -1,2 +1,3 @@
 from .bits import trailing_zeros
-from .dtypes import default_float, logaddexp
+
+__all__ = ["trailing_zeros"]

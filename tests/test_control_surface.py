@@ -212,3 +212,53 @@ def test_convergence_early_stop_zarr_truncates(tmp_path):
     # the stop landed on a partial zarr chunk (otherwise this test cannot
     # see the truncation-overcount bug it was written for)
     assert arr.shape[1] % 100 != 0
+
+
+def test_convergence_stop_buffer_bounded():
+    """The host-side convergence buffer thins progressively instead of
+    duplicating the whole trace in RAM (max_buffer_draws cap)."""
+    from nuts_rs_tpu.models import gaussian
+
+    model = gaussian.normal_logp(2, mu=0.0)
+    stop = nt.ConvergenceStop(rhat_max=1.0001, min_ess_bulk=1e9,
+                              min_draws=10, max_buffer_draws=64)
+    settings = nt.DiagNutsSettings(num_tune=50, num_draws=400,
+                                   num_chains=4, seed=0)
+    sampler = nt.Sampler(model, settings, chunk_size=50, stop_when=stop)
+    sampler.run()
+    assert not sampler.converged  # unreachable targets -> ran to num_draws
+    series = np.concatenate(sampler._post_buffer, axis=1)
+    assert series.shape[1] <= 64
+    assert sampler._post_thin >= 4  # 400 draws within 64 -> stride >= 8
+
+
+def test_max_chains_per_launch_transparent():
+    """Splitting the chain batch into sequential launches is transparent for
+    independent-chain settings (per-chain RNG keys; no pooling).  XLA may
+    reassociate reductions differently per batch size, so equality holds to
+    float-reassociation noise (~1e-9), with identical tree shapes."""
+    from nuts_rs_tpu.models import gaussian
+
+    model = gaussian.normal_logp(3, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=40, num_draws=40,
+                                   num_chains=8, seed=4)
+    t1 = nt.sample(model, settings, chunk_size=40)
+    t2 = nt.sample(model, settings, chunk_size=40, max_chains_per_launch=2)
+    np.testing.assert_allclose(t1.posterior["position"],
+                               t2.posterior["position"],
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_array_equal(t1.sample_stats["n_steps"],
+                                  t2.sample_stats["n_steps"])
+
+
+def test_max_chains_per_launch_validation():
+    from nuts_rs_tpu.models import gaussian
+
+    model = gaussian.normal_logp(2, mu=0.0)
+    s = nt.DiagNutsSettings(num_tune=10, num_draws=10, num_chains=6, seed=0)
+    with pytest.raises(ValueError, match="multiple"):
+        nt.Sampler(model, s, max_chains_per_launch=4)
+    s2 = nt.DiagNutsSettings(num_tune=10, num_draws=10, num_chains=4, seed=0,
+                             cross_chain_adaptation=True)
+    with pytest.raises(ValueError, match="cross_chain"):
+        nt.Sampler(model, s2, max_chains_per_launch=2)

@@ -157,3 +157,41 @@ def test_stream_only_model_public_api():
     ms = tr_s.posterior["position"].mean(axis=(0, 1))
     assert not tr_p.sample_stats["diverging"].any()
     np.testing.assert_allclose(mp, ms, atol=0.25)
+
+
+def test_packed_stream_model_matches_xla_logp():
+    """The shipped logistic_regression StreamSpec packs (x, y, w) into one
+    128-lane-aligned array (Mosaic DMA alignment; models/gaussian.py).  Its
+    tile_eval must reproduce the model's XLA log-density and gradient."""
+    from nuts_rs_tpu.models import gaussian
+
+    model = gaussian.logistic_regression(n_data=64, dim=5, seed=2)
+    spec = model.pallas_stream
+    assert len(spec.args) == 1
+    assert spec.args[0].shape[1] % 128 == 0
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(5, 8)) * 0.3, jnp.float32)  # [d, B]
+    n_tiles = spec.args[0].shape[0] // spec.tile_rows
+    lp_acc = jnp.zeros((1, 8), jnp.float32)
+    g_acc = jnp.zeros((5, 8), jnp.float32)
+    for t in range(n_tiles):
+        tile = jnp.asarray(
+            spec.args[0][t * spec.tile_rows:(t + 1) * spec.tile_rows])
+        lp_p, g_p = spec.tile_eval(q, tile)
+        lp_acc, g_acc = lp_acc + lp_p, g_acc + g_p
+    lp, grad = spec.finalize(q, lp_acc, g_acc)
+
+    lp_ref, g_ref = jax.vmap(
+        jax.value_and_grad(model.logp_fn))(jnp.asarray(q.T, jnp.float32))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g_ref.T),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_unaligned_stream_args_warn():
+    with pytest.warns(UserWarning, match="128-lane aligned"):
+        StreamSpec(args=(np.zeros((32, 4), np.float32),), tile_rows=8,
+                   tile_eval=lambda q, t: (q, q),
+                   finalize=lambda q, a, b: (a, b))
