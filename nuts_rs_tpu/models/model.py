@@ -117,6 +117,15 @@ class Model:
     # VMEM replication while the data fits (no DMA churn) and streaming
     # beyond that.
     pallas_stream: Optional["StreamSpec"] = None
+    # Optional HOST-side expansion: ``expand_host_fn(positions[C, k, d]) ->
+    # dict[str, np.ndarray[C, k, ...]]`` runs per chunk on numpy arrays and
+    # may return ANY numpy dtype — including fixed-length strings ("<U...")
+    # and datetime64/timedelta64 — covering the reference's non-numeric
+    # trace Values (nuts-storable Value::Strings/DateTime64/TimeDelta64,
+    # nuts-storable/src/lib.rs:5-92) that a jitted ``expand_fn`` cannot
+    # produce.  Stored alongside expand_fn outputs in every backend (Zarr
+    # maps them to "<U{n}" / "<M8[ns]" arrays).
+    expand_host_fn: Optional[Callable] = None
     # True when ``logp_fn`` is written against ``parallel.axis.dsum``/
     # ``dfinish`` so it computes the GLOBAL log density when traced inside a
     # dim-sharded ``shard_map`` (each shard sees its local parameter block).

@@ -26,6 +26,7 @@
 #include <vector>
 
 #include <zlib.h>
+#include <zstd.h>
 
 namespace {
 
@@ -33,6 +34,9 @@ struct WriteJob {
   std::string path;
   std::vector<uint8_t> data;
   int compress_level;  // <0: raw
+  int codec = 0;       // 0: zlib, 1: zstd (reference ships Blosc-Zstd,
+                       // src/storage/zarr/common.rs:310-331; plain zstd is
+                       // the zarr-v2 "zstd" numcodecs id, ArviZ-readable)
 };
 
 struct Writer {
@@ -62,7 +66,18 @@ struct Writer {
     const uint8_t* payload = job.data.data();
     size_t payload_len = job.data.size();
 
-    if (job.compress_level >= 0) {
+    if (job.compress_level >= 0 && job.codec == 1) {
+      size_t bound = ZSTD_compressBound(job.data.size());
+      out.resize(bound);
+      size_t n = ZSTD_compress(out.data(), bound, job.data.data(),
+                               job.data.size(), job.compress_level);
+      if (ZSTD_isError(n)) {
+        *err = "zstd compress failed for " + job.path;
+        return false;
+      }
+      payload = out.data();
+      payload_len = n;
+    } else if (job.compress_level >= 0) {
       uLongf bound = compressBound(job.data.size());
       out.resize(bound);
       int rc = compress2(out.data(), &bound, job.data.data(), job.data.size(),
@@ -119,12 +134,14 @@ struct Writer {
   // during destruction cannot wait forever on a condvar about to be
   // destroyed; jobs arriving after shutdown are dropped (destruction is a
   // caller bug the Python layer guards against, but it must not deadlock).
-  void enqueue(const char* path, const void* data, size_t len, int level) {
+  void enqueue(const char* path, const void* data, size_t len, int level,
+               int codec) {
     WriteJob job;
     job.path = path;
     job.data.assign(static_cast<const uint8_t*>(data),
                     static_cast<const uint8_t*>(data) + len);
     job.compress_level = level;
+    job.codec = codec;
     {
       std::unique_lock<std::mutex> lock(mu);
       cv_pop.wait(lock, [this] { return shutdown || in_flight < max_queue; });
@@ -163,7 +180,13 @@ void* tw_create(size_t max_queue, int n_threads) {
 
 void tw_write(void* handle, const char* path, const void* data, size_t len,
               int compress_level) {
-  static_cast<Writer*>(handle)->enqueue(path, data, len, compress_level);
+  static_cast<Writer*>(handle)->enqueue(path, data, len, compress_level, 0);
+}
+
+void tw_write2(void* handle, const char* path, const void* data, size_t len,
+               int compress_level, int codec) {
+  static_cast<Writer*>(handle)->enqueue(path, data, len, compress_level,
+                                        codec);
 }
 
 void tw_flush(void* handle) { static_cast<Writer*>(handle)->flush(); }

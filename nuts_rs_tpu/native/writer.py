@@ -19,7 +19,7 @@ _build_error: str | None = None
 def _build() -> None:
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        _SRC, "-o", _LIB, "-lz",
+        _SRC, "-o", _LIB, "-lz", "-lzstd",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -43,6 +43,10 @@ def _load():
         lib.tw_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                  ctypes.c_void_p, ctypes.c_size_t,
                                  ctypes.c_int]
+        lib.tw_write2.restype = None
+        lib.tw_write2.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                  ctypes.c_void_p, ctypes.c_size_t,
+                                  ctypes.c_int, ctypes.c_int]
         lib.tw_flush.restype = None
         lib.tw_flush.argtypes = [ctypes.c_void_p]
         lib.tw_error.restype = ctypes.c_char_p
@@ -81,9 +85,11 @@ class AsyncTraceWriter:
             raise RuntimeError("AsyncTraceWriter used after close()")
         return h
 
-    def write(self, path: str, data: bytes, compress_level: int = 1) -> None:
-        self._lib.tw_write(self._live_handle(), path.encode(), data,
-                           len(data), compress_level)
+    def write(self, path: str, data: bytes, compress_level: int = 1,
+              codec: str = "zlib") -> None:
+        self._lib.tw_write2(self._live_handle(), path.encode(), data,
+                            len(data), compress_level,
+                            1 if codec == "zstd" else 0)
 
     def write_raw(self, path: str, data: bytes) -> None:
         self._lib.tw_write(self._live_handle(), path.encode(), data,

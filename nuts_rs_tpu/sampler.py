@@ -548,6 +548,8 @@ class Sampler:
         stop_when: Optional[ConvergenceStop] = None,
         fail_after: Optional[int] = 100,
         max_chains_per_launch: Optional[int] = None,
+        keep_stats=None,
+        draw_dtype=None,
     ):
         # Mesh execution (SURVEY.md §2.12): shard the chain axis over a
         # ``jax.sharding.Mesh`` with ``shard_map`` so chains scale across
@@ -741,6 +743,20 @@ class Sampler:
                     f"num_chains ({settings.num_chains}) must be a multiple "
                     f"of max_chains_per_launch ({max_chains_per_launch})")
         self.max_chains_per_launch = max_chains_per_launch
+        # Device->host payload knobs (BASELINE.md "end-to-end vs device-level
+        # gap"): on hosts where the transfer link dominates (this dev rig's
+        # tunnel moves ~4 MB/s; even PCIe hosts care at 1000+ chains),
+        # ``keep_stats`` drops un-listed stat arrays ON DEVICE (never
+        # transferred, never stored) and ``draw_dtype`` down-casts the
+        # position draws (e.g. jnp.float16 halves the dominant array).
+        # Keys the controller itself consumes are always retained.
+        if keep_stats is not None:
+            needed = {"position", "diverging", "n_steps", "step_size"}
+            if stop_when is not None:
+                needed.add(stop_when.var)
+            keep_stats = set(keep_stats) | needed
+        self._stats_keep = keep_stats
+        self.draw_dtype = draw_dtype
 
     def _build_phase_runners(self):
         """(Re)build the per-phase jitted runners from ``self.settings``.
@@ -948,6 +964,12 @@ class Sampler:
         return state, stats
 
     def _finish_chunk(self, lo, hi, stats, t0):
+        # Transfer-reduction knobs run ON DEVICE, before any D2H move.
+        if self._stats_keep is not None:
+            stats = {k: v for k, v in stats.items() if k in self._stats_keep}
+        if self.draw_dtype is not None and "position" in stats:
+            stats = dict(stats)
+            stats["position"] = stats["position"].astype(self.draw_dtype)
         # Device -> host; [k, C, ...] -> [C, k, ...]
         stats = jax.tree.map(lambda x: np.moveaxis(np.asarray(x), 0, 1), stats)
         elapsed = time.monotonic() - t0
@@ -960,6 +982,11 @@ class Sampler:
                 jax.random.fold_in(self._expand_key, lo), (c, k))
             exp = self._expand_chunk(keys, stats["position"])
             expanded = {name: np.asarray(v) for name, v in exp.items()}
+        if self.model.expand_host_fn is not None:
+            # Host-side expansion: arbitrary numpy dtypes (strings,
+            # datetime64 — nuts-storable Value parity; see Model).
+            expanded.update(self.model.expand_host_fn(
+                np.asarray(stats["position"])))
 
         tuning = self.schedule.is_tuning[lo:hi]
         self.trace.record_chunk(lo, stats, expanded, tuning)
@@ -1194,6 +1221,8 @@ def sample(
     stop_when: Optional[ConvergenceStop] = None,
     fail_after: Optional[int] = 100,
     max_chains_per_launch: Optional[int] = None,
+    keep_stats=None,
+    draw_dtype=None,
 ) -> Trace:
     """Sample from ``model`` — the TPU analog of ``Sampler::new`` + ``wait``.
 
@@ -1209,7 +1238,8 @@ def sample(
         model, settings, storage=storage, dtype=dtype, chunk_size=chunk_size,
         init_positions=init_positions, progress_callback=progress_callback,
         mesh=mesh, stop_when=stop_when, fail_after=fail_after,
-        max_chains_per_launch=max_chains_per_launch)
+        max_chains_per_launch=max_chains_per_launch,
+        keep_stats=keep_stats, draw_dtype=draw_dtype)
     return sampler.run()
 
 

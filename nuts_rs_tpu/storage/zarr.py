@@ -14,7 +14,7 @@ compatibility surface:
   maximum per-chain event count at finalize (``sync_impl.rs:662-685``)
 * coordinate arrays stored as 1-D arrays (``store_coords``, common.rs:26-58)
 
-Chunks are zlib-compressed Zarr v2 (see ``zarr_format.py``); the Blosc-Zstd
+Chunks are zstd-compressed Zarr v2 (see ``zarr_format.py``); the Blosc-Zstd
 codec of the reference is not available here without native deps — the layout
 and metadata are otherwise identical.
 """
@@ -39,9 +39,10 @@ class _GroupBuffer:
     """Per-group draw buffer flushed as aligned (1, chunk_draws, ...) chunks."""
 
     def __init__(self, group: ZarrGroup, num_chains: int, total_draws: int,
-                 chunk_draws: int, writer=None):
+                 chunk_draws: int, writer=None, codec="zstd"):
         self.group = group
         self.writer = writer
+        self.codec = codec
         self.num_chains = num_chains
         self.total = total_draws
         self.chunk_draws = chunk_draws
@@ -64,6 +65,7 @@ class _GroupBuffer:
             dtype=dtype,
             dims=["chain", "draw"] + list(dims_tail),
             writer=self.writer,
+            codec=self.codec,
         )
         self.pending[name] = []
 
@@ -123,7 +125,8 @@ class _GroupBuffer:
 class ZarrStorage(TraceStorage):
     def __init__(self, path: str, settings, model, num_chains: int,
                  chunk_draws: int = 100, async_writes: bool = True,
-                 max_queued_writes: int = 64, writer_threads: int = 2):
+                 max_queued_writes: int = 64, writer_threads: int = 2,
+                 codec: str = "zstd"):
         self.path = path
         self._writer = None
         if async_writes and not is_url_path(path):
@@ -155,7 +158,7 @@ class ZarrStorage(TraceStorage):
         self.root = ZarrGroup(path, attrs)
         mk = lambda name, total: _GroupBuffer(
             self.root.group(name), num_chains, total, chunk_draws,
-            writer=self._writer)
+            writer=self._writer, codec=codec)
         self.groups = {
             ("posterior", False): mk("posterior", num_draws),
             ("sample_stats", False): mk("sample_stats", num_draws),
@@ -351,9 +354,14 @@ class ZarrConfig(StorageConfig):
     async_writes: bool = True
     max_queued_writes: int = 64
     writer_threads: int = 2
+    # Chunk codec: "zstd" (default; the reference ships Blosc-Zstd,
+    # src/storage/zarr/common.rs:310-331 — plain numcodecs-"zstd" here,
+    # ~2x faster compression than zlib at similar ratio) or "zlib".
+    codec: str = "zstd"
 
     def new_trace(self, settings, model, num_chains):
         return ZarrStorage(self.path, settings, model, num_chains,
                            self.chunk_draws, async_writes=self.async_writes,
                            max_queued_writes=self.max_queued_writes,
-                           writer_threads=self.writer_threads)
+                           writer_threads=self.writer_threads,
+                           codec=self.codec)

@@ -19,6 +19,22 @@ from __future__ import annotations
 import json
 import os
 import zlib
+
+
+def _compress(raw: bytes, codec: str) -> bytes:
+    if codec == "zstd":
+        import zstandard
+
+        return zstandard.ZstdCompressor(level=1).compress(raw)
+    return zlib.compress(raw, 1)
+
+
+def _decompress(raw: bytes, codec: str) -> bytes:
+    if codec == "zstd":
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(raw)
+    return zlib.decompress(raw)
 from typing import Any, Mapping, Optional, Sequence
 
 import numpy as np
@@ -66,9 +82,13 @@ def _exists(path: str) -> bool:
 _DTYPE_MAP = {
     np.dtype("float64"): "<f8",
     np.dtype("float32"): "<f4",
+    np.dtype("float16"): "<f2",
     np.dtype("int64"): "<i8",
     np.dtype("int32"): "<i4",
+    np.dtype("int16"): "<i2",
+    np.dtype("int8"): "|i1",
     np.dtype("uint64"): "<u8",
+    np.dtype("uint32"): "<u4",
     np.dtype("bool"): "|b1",
 }
 
@@ -80,6 +100,11 @@ def _dtype_str(dtype: np.dtype) -> str:
         # nuts-rs src/storage/zarr/common.rs:26-58 stores string coordinate
         # arrays; zarr-python reads "<U{n}" natively)
         return f"<U{dtype.itemsize // 4}"
+    if dtype.kind in "Mm":
+        # datetime64 / timedelta64 expanded values (nuts-storable
+        # Value::DateTime64/TimeDelta64, nuts-storable/src/lib.rs:5-92);
+        # numpy's dtype.str is already the zarr v2 form, e.g. "<M8[ns]".
+        return dtype.str
     raise TypeError(f"unsupported dtype {dtype}")
 
 
@@ -112,10 +137,11 @@ class ZarrGroup:
     def array(self, name: str, shape, chunks, dtype,
               dims: Optional[Sequence[str]] = None,
               attrs: Optional[Mapping[str, Any]] = None,
-              compress: bool = True, writer=None) -> "ZarrArray":
+              compress: bool = True, writer=None,
+              codec: str = "zlib") -> "ZarrArray":
         return ZarrArray(_join(self.path, name), shape, chunks, dtype,
                          dims=dims, attrs=attrs, compress=compress,
-                         writer=writer)
+                         writer=writer, codec=codec)
 
     def write_full_array(self, name: str, data: np.ndarray,
                          dims: Optional[Sequence[str]] = None):
@@ -130,13 +156,18 @@ class ZarrGroup:
 
 class ZarrArray:
     def __init__(self, path, shape, chunks, dtype, dims=None, attrs=None,
-                 compress=True, writer=None):
+                 compress=True, writer=None, codec="zlib"):
         self.path = path
         self.writer = writer  # optional native AsyncTraceWriter
         self.shape = tuple(int(s) for s in shape)
         self.chunks = tuple(int(c) for c in chunks)
         self.dtype = np.dtype(dtype)
         self.compress = compress
+        # "zlib" | "zstd" (the reference ships Blosc-Zstd,
+        # src/storage/zarr/common.rs:310-331; plain numcodecs-"zstd" here —
+        # both ArviZ/zarr-python readable).  zstd compresses trace floats
+        # ~2x faster at similar ratio (level 1).
+        self.codec = codec
         _makedirs(path)
         self._write_meta()
         zattrs = dict(attrs or {})
@@ -153,7 +184,8 @@ class ZarrArray:
             "shape": list(self.shape),
             "chunks": list(self.chunks),
             "dtype": _dtype_str(self.dtype),
-            "compressor": {"id": "zlib", "level": 1} if self.compress else None,
+            "compressor": ({"id": self.codec, "level": 1}
+                           if self.compress else None),
             "fill_value": _fill_value(self.dtype),
             "order": "C",
             "filters": None,
@@ -180,10 +212,11 @@ class ZarrArray:
         target = _join(self.path, name)
         if self.writer is not None:
             # Compression + I/O happen on the native worker threads.
-            self.writer.write(target, raw, 1 if self.compress else -1)
+            self.writer.write(target, raw, 1 if self.compress else -1,
+                              codec=self.codec)
             return
         if self.compress:
-            raw = zlib.compress(raw, 1)
+            raw = _compress(raw, self.codec)
         with _open(target, "wb") as f:
             f.write(raw)
 
@@ -212,7 +245,7 @@ def read_array(path: str) -> np.ndarray:
             with _open(fp, "rb") as _f:
                 raw = _f.read()
             if meta["compressor"] is not None:
-                raw = zlib.decompress(raw)
+                raw = _decompress(raw, meta["compressor"]["id"])
             block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
             sel = tuple(slice(i * c, min((i + 1) * c, s))
                         for i, c, s in zip(idx, chunks, shape))

@@ -262,3 +262,23 @@ def test_max_chains_per_launch_validation():
                              cross_chain_adaptation=True)
     with pytest.raises(ValueError, match="cross_chain"):
         nt.Sampler(model, s2, max_chains_per_launch=2)
+
+
+def test_keep_stats_and_draw_dtype():
+    """Transfer-reduction knobs: keep_stats drops unlisted stat arrays before
+    the device->host move; draw_dtype down-casts the position draws."""
+    import jax.numpy as jnp
+
+    from nuts_rs_tpu.models import gaussian
+
+    model = gaussian.normal_logp(3, mu=0.0)
+    settings = nt.DiagNutsSettings(num_tune=30, num_draws=30,
+                                   num_chains=4, seed=0)
+    sampler = nt.Sampler(model, settings, chunk_size=30,
+                         keep_stats=("logp",), draw_dtype=jnp.float16)
+    trace = sampler.run()
+    keys = set(trace.sample_stats)
+    assert "logp" in keys and "diverging" in keys and "n_steps" in keys
+    assert "energy" not in keys and "fisher_distance" not in keys
+    assert trace.posterior["position"].dtype == np.float16
+    assert abs(float(trace.posterior["position"].astype(np.float64).mean())) < 0.3

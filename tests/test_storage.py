@@ -211,3 +211,67 @@ def test_divergence_reason_nan_logp():
         trace.warmup_sample_stats["divergence_reason"],
         trace.sample_stats["divergence_reason"]], axis=1)
     assert (reasons == 2).any()  # NaN-logp divergences classified as such
+
+
+def test_expand_host_fn_string_datetime_values(tmp_path):
+    """Non-numeric trace values (nuts-storable Value::Strings/DateTime64/
+    TimeDelta64, nuts-storable/src/lib.rs:5-92) via Model.expand_host_fn:
+    host-side expansion returning strings and datetimes, stored through the
+    memory AND Zarr backends."""
+    from nuts_rs_tpu.models.model import Model
+    from nuts_rs_tpu.parallel.axis import dsum
+    import jax.numpy as jnp
+
+    t0 = np.datetime64("2026-01-01T00:00:00", "ns")
+
+    def expand_host(pos):  # [C, k, d]
+        c, k, _ = pos.shape
+        label = np.where(pos[..., 0] > 0, "pos", "neg").astype("<U8")
+        stamp = t0 + (np.arange(k, dtype="int64") * 1_000_000_000)[None, :]
+        return {"sign_label": label,
+                "draw_time": np.broadcast_to(stamp, (c, k)).copy(),
+                "lag": np.full((c, k), np.timedelta64(5, "ns"))}
+
+    model = Model(logp_fn=lambda q: -0.5 * dsum(jnp.square(q)), dim=3,
+                  name="hostexp", expand_host_fn=expand_host)
+    settings = nt.DiagNutsSettings(num_tune=10, num_draws=20, num_chains=2,
+                                   seed=0)
+    trace = nt.sample(model, settings, chunk_size=15)
+    lab = trace.posterior["sign_label"]
+    assert lab.shape == (2, 20) and lab.dtype.kind == "U"
+    assert set(np.unique(lab)) <= {"pos", "neg"}
+    assert trace.posterior["draw_time"].dtype.kind == "M"
+    assert trace.posterior["lag"].dtype.kind == "m"
+
+    path = str(tmp_path / "h.zarr")
+    nt.sample(model, settings, storage=ZarrConfig(path, chunk_draws=10),
+              chunk_size=15)
+    lab2 = read_array(os.path.join(path, "posterior", "sign_label"))
+    assert lab2.shape == (2, 20)
+    assert set(np.unique(lab2)) <= {"pos", "neg"}
+    dt = read_array(os.path.join(path, "posterior", "draw_time"))
+    assert dt.dtype.kind == "M"
+    # stamps are chunk-relative (expand_host_fn sees one chunk at a time);
+    # the first posterior draw is global index 10 = row 10 of chunk 0
+    np.testing.assert_array_equal(
+        dt[:, 0], np.full(2, t0 + np.timedelta64(10, "s")))
+
+
+def test_zarr_zstd_codec_roundtrip(tmp_path):
+    """zstd chunk codec (reference ships Blosc-Zstd,
+    src/storage/zarr/common.rs:310-331): roundtrip + .zarray id; zlib still
+    selectable."""
+    import json
+
+    model = gaussian.normal_logp(3, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=10, num_draws=20, num_chains=2,
+                                   seed=0)
+    for codec in ("zstd", "zlib"):
+        path = str(tmp_path / f"t_{codec}.zarr")
+        nt.sample(model, settings, chunk_size=30,
+                  storage=ZarrConfig(path, chunk_draws=10, codec=codec))
+        meta = json.load(open(os.path.join(path, "posterior", "position",
+                                           ".zarray")))
+        assert meta["compressor"]["id"] == codec
+        pos = read_array(os.path.join(path, "posterior", "position"))
+        assert pos.shape == (2, 20, 3) and np.isfinite(pos).all()
