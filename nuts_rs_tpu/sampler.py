@@ -527,6 +527,39 @@ def _scan_chunk(step, state, flags):
     return jax.lax.scan(step, state, flags)
 
 
+def _scan_chunk_ticked(step, tick, every, num_chains, state, flags):
+    """``lax.scan`` with an in-chunk live progress tick.
+
+    Every ``every`` draws the scan body fires an async
+    ``jax.debug.callback`` shipping (draws done, cumulative divergences,
+    cumulative leapfrog steps, last draw's steps) to the host — live
+    per-draw progress from inside the device loop, the batched analog of
+    the reference ticking its progress channel per draw
+    (src/sampler.rs:1340-1363).  Callbacks are unordered: the host keeps a
+    monotone max over draws-done, and the chunk-end accounting recomputes
+    the exact values from the full stats.
+    """
+    n = jax.tree.leaves(flags)[0].shape[0]
+    zeros = jnp.zeros(num_chains, jnp.int32)
+
+    def body(carry, xf):
+        st, divs, steps = carry
+        i, f = xf
+        st2, stats = step(st, f)
+        divs = divs + stats["diverging"].astype(jnp.int32)
+        nst = stats["n_steps"].astype(jnp.int32)
+        steps = steps + nst
+        jax.lax.cond(
+            (i + 1) % every == 0,
+            lambda: jax.debug.callback(tick, i + 1, divs, steps, nst),
+            lambda: None)
+        return (st2, divs, steps), stats
+
+    (state, _, _), stats = jax.lax.scan(
+        body, (state, zeros, zeros), (jnp.arange(n), flags))
+    return state, stats
+
+
 class Sampler:
     """Chunked multi-chain sampler (parallel controller of src/sampler.rs:1254).
 
@@ -550,6 +583,7 @@ class Sampler:
         max_chains_per_launch: Optional[int] = None,
         keep_stats=None,
         draw_dtype=None,
+        progress_tick: Optional[int] = None,
     ):
         # Mesh execution (SURVEY.md §2.12): shard the chain axis over a
         # ``jax.sharding.Mesh`` with ``shard_map`` so chains scale across
@@ -679,6 +713,32 @@ class Sampler:
                 f"{bad.tolist()[:10]} (logp is not finite after retries); "
                 "provide init_positions or check the model")
 
+        # In-chunk live progress (the reference reports per-chain progress
+        # from inside its draw loop, src/sampler.rs:1340-1363; chunked
+        # execution would otherwise go dark for a whole chunk): every
+        # ``progress_tick`` draws the scan body fires an async
+        # jax.debug.callback that updates ChainProgress provisionally —
+        # exact values are recomputed at chunk end.  Applies to the XLA
+        # sync-scan phases (a fused Pallas chunk is one opaque pallas_call);
+        # disables run()'s launch/finish pipelining so tick bookkeeping
+        # stays ordered.
+        if progress_tick is not None:
+            if progress_tick < 1:
+                raise ValueError("progress_tick must be >= 1")
+            if mesh is not None:
+                raise ValueError(
+                    "progress_tick is incompatible with mesh execution "
+                    "(debug callbacks fire once per device)")
+            if max_chains_per_launch is not None:
+                raise ValueError(
+                    "progress_tick is incompatible with "
+                    "max_chains_per_launch (each chain-group launch would "
+                    "re-count the chunk's draws)")
+        self.progress_tick = progress_tick
+        self._tick_lo = 0
+        self._tick_base = None
+        self._live_done = 0
+
         self._precision = precision
         self._engine_fell_back = False
         self._build_phase_runners()
@@ -735,9 +795,16 @@ class Sampler:
                     "max_chains_per_launch is incompatible with mesh "
                     "execution (shard the chain axis instead)")
             if getattr(settings, "cross_chain_adaptation", False):
-                raise ValueError(
-                    "max_chains_per_launch would pool adaptation within "
-                    "launch groups only; disable cross_chain_adaptation")
+                # Pooling is a psum over the vmapped chain axis INSIDE one
+                # launch, so each group of max_chains_per_launch chains
+                # pools independently.  Statistically this is still pooled
+                # adaptation (over B chains instead of C); allowed with a
+                # warning because split launches exist precisely for models
+                # where one full-batch launch faults the device.
+                warnings.warn(
+                    "cross_chain_adaptation with max_chains_per_launch "
+                    f"pools within each {max_chains_per_launch}-chain "
+                    "launch group only", UserWarning)
             if settings.num_chains % max_chains_per_launch:
                 raise ValueError(
                     f"num_chains ({settings.num_chains}) must be a multiple "
@@ -852,9 +919,17 @@ class Sampler:
         for i, (start, end, runner) in enumerate(settings.build_phases(
                 model, self.strategy, self.config)):
             if id(runner) not in jitted:
+                r = runner
+                if (self.progress_tick is not None
+                        and isinstance(r, functools.partial)
+                        and r.func is _scan_chunk):
+                    # Live-progress variant of the sync scan (see __init__).
+                    r = functools.partial(
+                        _scan_chunk_ticked, r.args[0], self._tick_fn,
+                        self.progress_tick, settings.num_chains)
                 probe = (self._probe_runners[i]
                          if i < len(self._probe_runners) else None)
-                jitted[id(runner)] = jit_prec(wrap_mesh(runner, probe))
+                jitted[id(runner)] = jit_prec(wrap_mesh(r, probe))
             self._phase_runners.append((start, end, jitted[id(runner)]))
 
     def _try_engine_fallback(self, err: Exception) -> bool:
@@ -917,6 +992,12 @@ class Sampler:
         start, end, runner = next(
             (s, e, r) for s, e, r in self._phase_runners if s <= lo < e)
         hi = min(lo + self.chunk_size, self._total, end)
+        if self.progress_tick is not None:
+            # Baseline for the in-chunk ticks' provisional absolute values.
+            self._tick_lo = lo
+            self._tick_base = [(p.finished_draws, p.divergences,
+                                p.total_num_steps) for p in self.progress]
+            self._live_done = 0
         flags = _schedule_chunk(self.schedule, lo, hi)
         flags = self.settings.extra_flags(flags, lo, hi)
         t0 = time.monotonic()
@@ -1030,7 +1111,49 @@ class Sampler:
                 self.progress_callback(self.progress)
         return lo, {**stats, **expanded}, tuning
 
+    def _tick_fn(self, done, divs, steps, last):
+        """In-chunk live-progress callback (see ``progress_tick``).
+
+        Runs on the JAX callback thread while the device computes; callbacks
+        are unordered, so only a strictly newer tick (larger draws-done)
+        applies.  Values written here are PROVISIONAL — e.g. divergences
+        count tuning draws too — and are replaced by the exact chunk-end
+        accounting in :meth:`_update_progress`.
+        """
+        done = int(done)
+        if done <= self._live_done or self._tick_base is None:
+            return
+        self._live_done = done
+        base, lo = self._tick_base, self._tick_lo
+        tuning = bool(self.schedule.is_tuning[min(lo + done - 1,
+                                                  self._total - 1)])
+        divs, steps, last = np.asarray(divs), np.asarray(steps), np.asarray(last)
+        for c, prog in enumerate(self.progress):
+            b = base[c]
+            prog.started = True
+            prog.finished_draws = b[0] + done
+            prog.divergences = b[1] + int(divs[c])
+            prog.total_num_steps = b[2] + int(steps[c])
+            prog.latest_num_steps = int(last[c])
+            prog.tuning = tuning
+        cb = self.progress_callback
+        if cb is None:
+            return
+        now = time.monotonic()
+        if now - self._last_callback >= self.progress_rate_seconds:
+            self._last_callback = now
+            cb(self.progress)
+
     def _update_progress(self, lo, stats, tuning, elapsed):
+        if self.progress_tick is not None and self._tick_base is not None:
+            # All of this chunk's ticks have fired once the device results
+            # are on the host, but flush the callback queue and rewind the
+            # provisional values before the exact accumulation below.
+            jax.effects_barrier()
+            for c, prog in enumerate(self.progress):
+                (prog.finished_draws, prog.divergences,
+                 prog.total_num_steps) = self._tick_base[c]
+            self._tick_base = None
         k = stats["diverging"].shape[1]
         # Per-chain runtime estimate: chains share one device computation, so
         # the chunk wall-clock is common; a chain's *active* time is
@@ -1120,10 +1243,14 @@ class Sampler:
         # writes overlap the next chunk's compute instead of serializing
         # with it.
         pending = None
+        pipelined = self.progress_tick is None  # see progress_tick in __init__
         while (not self.finished and not self.converged
                and not self._failed_chains):
             if self._paused:
                 break
+            if not pipelined:
+                self.run_next_chunk()
+                continue
             nxt = self._launch_chunk()
             if pending is not None:
                 self._finish_chunk(*pending)

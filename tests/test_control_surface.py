@@ -258,10 +258,16 @@ def test_max_chains_per_launch_validation():
     s = nt.DiagNutsSettings(num_tune=10, num_draws=10, num_chains=6, seed=0)
     with pytest.raises(ValueError, match="multiple"):
         nt.Sampler(model, s, max_chains_per_launch=4)
+    # Cross-chain adaptation under split launches pools within each launch
+    # group (a psum over the vmapped group) — allowed with a warning, since
+    # split launches exist for models where one full-batch launch faults the
+    # device (BASELINE config 4 at [1024, 1e4]).
     s2 = nt.DiagNutsSettings(num_tune=10, num_draws=10, num_chains=4, seed=0,
                              cross_chain_adaptation=True)
-    with pytest.raises(ValueError, match="cross_chain"):
-        nt.Sampler(model, s2, max_chains_per_launch=2)
+    with pytest.warns(UserWarning, match="launch group"):
+        sampler = nt.Sampler(model, s2, max_chains_per_launch=2)
+    trace = sampler.run()
+    assert np.isfinite(np.asarray(trace.posterior["position"])).all()
 
 
 def test_keep_stats_and_draw_dtype():
@@ -282,3 +288,47 @@ def test_keep_stats_and_draw_dtype():
     assert "energy" not in keys and "fisher_distance" not in keys
     assert trace.posterior["position"].dtype == np.float16
     assert abs(float(trace.posterior["position"].astype(np.float64).mean())) < 0.3
+
+
+def test_progress_tick_live_in_chunk():
+    """``progress_tick`` surfaces ChainProgress updates from INSIDE a chunk
+    (the reference ticks its progress channel per draw from within the draw
+    loop, src/sampler.rs:1340-1363; chunked execution would otherwise go
+    dark until the chunk boundary)."""
+    model = gaussian.normal_logp(3, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=32, num_draws=32, num_chains=4,
+                                   seed=0)
+    seen = []
+
+    def cb(progress):
+        seen.append([p.finished_draws for p in progress])
+
+    s = nt.Sampler(model, settings, chunk_size=64, progress_callback=cb,
+                   progress_tick=8)
+    s.progress_rate_seconds = 0.0
+    trace = s.run()
+    mid = [d for snap in seen for d in snap if 0 < d < 64]
+    assert mid, "no in-chunk progress observed"
+    assert all(p.finished_draws == 64 for p in s.progress)
+
+    # Chunk-end accounting stays EXACT (ticks are provisional) and the
+    # draws themselves are bit-identical to a tick-free run.
+    s2 = nt.Sampler(model, settings, chunk_size=64)
+    trace2 = s2.run()
+    assert ([p.divergences for p in s.progress]
+            == [p.divergences for p in s2.progress])
+    assert ([p.total_num_steps for p in s.progress]
+            == [p.total_num_steps for p in s2.progress])
+    np.testing.assert_array_equal(np.asarray(trace.posterior["position"]),
+                                  np.asarray(trace2.posterior["position"]))
+
+
+def test_progress_tick_validation():
+    model = gaussian.normal_logp(3)
+    settings = nt.DiagNutsSettings(num_tune=8, num_draws=8, num_chains=4,
+                                   seed=0)
+    with pytest.raises(ValueError, match="progress_tick"):
+        nt.Sampler(model, settings, progress_tick=0)
+    with pytest.raises(ValueError, match="max_chains_per_launch"):
+        nt.Sampler(model, settings, progress_tick=4,
+                   max_chains_per_launch=2)
