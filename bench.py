@@ -108,10 +108,10 @@ def _make_model(name):
 
 
 def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
-               maxdepth=10, attempts=2, kernel=None):
+               maxdepth=10, attempts=2, kernel=None, sampler_kw=None):
     import nuts_rs_tpu as nt
 
-    model, true_mean = _make_model(name)
+    model, true_mean = _make_model(name.removesuffix("_thin"))
     on_tpu = jax.default_backend() == "tpu"
     if name == "mclmc_d10":
         # Unadjusted microcanonical sampler (the reference's experimental
@@ -145,7 +145,8 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
         # overlap; the phase boundaries still split warmup at the schedule's
         # step-size re-init draw.
         sampler = nt.Sampler(model, settings, dtype=jnp.float32,
-                             chunk_size=max(num_tune, num_draws))
+                             chunk_size=max(num_tune, num_draws),
+                             **(sampler_kw or {}))
         t0 = time.monotonic()
         # The warmup phase may span several chunks (the fused warmup engine
         # splits at the schedule's step-size re-init draw) — run until the
@@ -163,6 +164,8 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
         trace = sampler.trace.finalize()
     t_sample = min(t_samples)
     draws = trace.posterior["position"]  # [C, K, d]
+    if draws.dtype == np.float16:  # f16 numpy reductions accumulate in f16
+        draws = draws.astype(np.float32)
     n_steps = trace.sample_stats["n_steps"].astype(np.int64)
     grad_evals = int(n_steps.sum())
     grad_evals_per_sec = grad_evals / t_sample
@@ -315,7 +318,12 @@ def run_bench():
         head["fused_engine_error"] = _short_err(e)
     grid = [head]
     side = [("normal_d1000", {}), ("logreg_d100", {}), ("mclmc_d10", {}),
-            ("logreg_big", dict(num_chains=256, attempts=1))]
+            ("logreg_big", dict(num_chains=256, attempts=1)),
+            # Headline config with the device->host payload knobs on
+            # (stats thinned on device + f16 draws): what end-to-end
+            # recovers when the transfer link is the bottleneck.
+            ("normal_d10_thin", dict(attempts=1, sampler_kw=dict(
+                keep_stats=(), draw_dtype=jnp.float16)))]
     for name, kw in side:
         try:
             grid.append(run_config(name, num_tune=300, num_draws=400,
