@@ -123,8 +123,11 @@ class Model:
     # and datetime64/timedelta64 — covering the reference's non-numeric
     # trace Values (nuts-storable Value::Strings/DateTime64/TimeDelta64,
     # nuts-storable/src/lib.rs:5-92) that a jitted ``expand_fn`` cannot
-    # produce.  Stored alongside expand_fn outputs in every backend (Zarr
-    # maps them to "<U{n}" / "<M8[ns]" arrays).
+    # produce.  A TWO-argument ``expand_host_fn(positions, first_draw)``
+    # also receives the chunk's first global draw index (warmup draws
+    # included), so draw-indexed outputs stay invariant to the sampler's
+    # internal chunk_size.  Stored alongside expand_fn outputs in every
+    # backend (Zarr maps them to "<U{n}" / "<M8[ns]" arrays).
     expand_host_fn: Optional[Callable] = None
     # True when ``logp_fn`` is written against ``parallel.axis.dsum``/
     # ``dfinish`` so it computes the GLOBAL log density when traced inside a

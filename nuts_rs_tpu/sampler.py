@@ -743,6 +743,23 @@ class Sampler:
         self._engine_fell_back = False
         self._build_phase_runners()
 
+        # expand_host_fn arity: fn(positions) or fn(positions, first_draw) —
+        # the offset form keeps draw-indexed outputs chunk-size-invariant.
+        self._expand_host_wants_offset = False
+        if model.expand_host_fn is not None:
+            import inspect
+
+            try:
+                params = inspect.signature(
+                    model.expand_host_fn).parameters.values()
+                n_pos = sum(p.kind in (p.POSITIONAL_ONLY,
+                                       p.POSITIONAL_OR_KEYWORD)
+                            for p in params)
+                var_pos = any(p.kind is p.VAR_POSITIONAL for p in params)
+                self._expand_host_wants_offset = n_pos >= 2 or var_pos
+            except (TypeError, ValueError):
+                pass  # builtins/C callables: single-argument form
+
         if model.expand_fn is not None:
             def expand_chunk(keys, qs):
                 return jax.vmap(jax.vmap(model.expand))(keys, qs)
@@ -940,7 +957,12 @@ class Sampler:
         buffer donation — so ``self.state`` is still live and the chunk can
         simply be retried on the rebuilt runners.  One-shot: a second
         failure propagates."""
-        kind = getattr(self.settings, "posterior_kernel", "sync")
+        # The EFFECTIVE kernel: async_posterior=True promotes a "sync"
+        # posterior_kernel to the draw-async engine, so keying off the raw
+        # field would (a) never fall back for async_posterior users and
+        # (b) "fall back" onto the same failing engine when both are set.
+        kind = getattr(self.settings, "_posterior_kernel",
+                       getattr(self.settings, "posterior_kernel", "sync"))
         if kind not in ("pallas", "async") or self._engine_fell_back:
             return False
         if any(getattr(x, "is_deleted", lambda: False)()
@@ -950,8 +972,11 @@ class Sampler:
             f"fused {kind!r} engine failed on this device "
             f"({type(err).__name__}: {str(err)[:200]}); falling back to "
             "the XLA sync kernel", RuntimeWarning)
-        self.settings = dataclasses.replace(
-            self.settings, posterior_kernel="sync")
+        fall_kw = {"posterior_kernel": "sync"}
+        if getattr(self.settings, "async_posterior", False):
+            # Must clear too: _posterior_kernel re-promotes sync -> async.
+            fall_kw["async_posterior"] = False
+        self.settings = dataclasses.replace(self.settings, **fall_kw)
         self._engine_fell_back = True
         self._build_phase_runners()
         return True
@@ -1065,9 +1090,15 @@ class Sampler:
             expanded = {name: np.asarray(v) for name, v in exp.items()}
         if self.model.expand_host_fn is not None:
             # Host-side expansion: arbitrary numpy dtypes (strings,
-            # datetime64 — nuts-storable Value parity; see Model).
-            expanded.update(self.model.expand_host_fn(
-                np.asarray(stats["position"])))
+            # datetime64 — nuts-storable Value parity; see Model).  A
+            # two-argument fn also receives the chunk's first GLOBAL draw
+            # index, so draw-indexed outputs don't shift with chunk_size (a
+            # performance knob must never change stored data).
+            pos_np = np.asarray(stats["position"])
+            if self._expand_host_wants_offset:
+                expanded.update(self.model.expand_host_fn(pos_np, lo))
+            else:
+                expanded.update(self.model.expand_host_fn(pos_np))
 
         tuning = self.schedule.is_tuning[lo:hi]
         self.trace.record_chunk(lo, stats, expanded, tuning)
@@ -1179,26 +1210,38 @@ class Sampler:
         """Between-chunk unrecoverable-failure detector (see ``fail_after``).
 
         A chain accumulates a "stuck" streak over draws that BOTH diverged
-        and left the position bit-identical to the previous draw; any move
-        or non-divergent draw resets it.  Crossing ``fail_after`` marks the
-        chain failed in :class:`ChainProgress`; :meth:`run` /
-        :meth:`wait_timeout` then finalize the traces and raise
-        :class:`ChainFailedError` (reference: src/sampler.rs:1202-1207 stops
-        the chain, 1452-1457 still finalizes every trace).
+        and left the position identical to the previous draw (NaN-equal —
+        a NaN coordinate must still read as "not moved"); any move or
+        non-divergent draw resets it.  Even a heavily-diverging but healthy
+        chain moves occasionally (a divergent tree's partial proposal can
+        be accepted), so ``fail_after`` consecutive frozen divergent draws
+        indicates a permanently-failing logp, the reference's unrecoverable
+        ``LogpError`` (``None`` disables the detector).  Crossing
+        ``fail_after`` marks the chain failed in :class:`ChainProgress`;
+        :meth:`run` / :meth:`wait_timeout` then finalize the traces and
+        raise :class:`ChainFailedError` (reference: src/sampler.rs:1202-1207
+        stops the chain, 1452-1457 still finalizes every trace).
         """
         pos = np.asarray(stats["position"])          # [C, k, d]
         div = np.asarray(stats["diverging"]).astype(bool)  # [C, k]
-        k = div.shape[1]
-        if self._last_pos is not None:
-            seq = np.concatenate([self._last_pos[:, None], pos], axis=1)
-            moved = np.any(seq[:, 1:] != seq[:, :-1], axis=-1)   # [C, k]
-        else:
-            moved = np.any(pos[:, 1:] != pos[:, :-1], axis=-1)
-            # first draw of the run: no predecessor — count as moved
-            moved = np.concatenate(
-                [np.ones((pos.shape[0], 1), bool), moved], axis=1)
+        C, k = div.shape
+        if not div.any():
+            # Nothing can extend a streak; every chain had an ok draw.
+            self._div_streak[:] = 0
+            self._last_pos = pos[:, -1].copy()
+            return
+        # Per-draw comparison slices ([C, d] temporaries) instead of one
+        # [C, k+1, d] concatenated copy — at 1024 chains x 700-draw chunks
+        # the copy transiently doubled the largest host buffer.
+        stuck = np.zeros((C, k), bool)
+        prev = self._last_pos  # None on the run's first chunk: no
+        for j in range(k):     # predecessor, first draw counts as moved
+            if prev is not None and div[:, j].any():
+                cur = pos[:, j]
+                same = (cur == prev) | (np.isnan(cur) & np.isnan(prev))
+                stuck[:, j] = div[:, j] & same.all(axis=-1)
+            prev = pos[:, j]
         self._last_pos = pos[:, -1].copy()
-        stuck = div & ~moved                                     # [C, k]
         ok = ~stuck
         has_ok = ok.any(axis=1)
         last_ok = np.where(has_ok, k - 1 - np.argmax(ok[:, ::-1], axis=1), -1)

@@ -29,7 +29,7 @@ from typing import Any, Dict, List, Mapping, Optional
 import numpy as np
 
 from .core import StorageConfig, TraceStorage
-from .zarr_format import ZarrGroup, is_url_path
+from .zarr_format import ZarrGroup, default_codec, is_url_path
 from .zarr_format import _join as zarr_join
 
 _POSTERIOR_KEYS = ("position",)
@@ -39,10 +39,10 @@ class _GroupBuffer:
     """Per-group draw buffer flushed as aligned (1, chunk_draws, ...) chunks."""
 
     def __init__(self, group: ZarrGroup, num_chains: int, total_draws: int,
-                 chunk_draws: int, writer=None, codec="zstd"):
+                 chunk_draws: int, writer=None, codec=None):
         self.group = group
         self.writer = writer
-        self.codec = codec
+        self.codec = codec or default_codec()
         self.num_chains = num_chains
         self.total = total_draws
         self.chunk_draws = chunk_draws
@@ -126,7 +126,7 @@ class ZarrStorage(TraceStorage):
     def __init__(self, path: str, settings, model, num_chains: int,
                  chunk_draws: int = 100, async_writes: bool = True,
                  max_queued_writes: int = 64, writer_threads: int = 2,
-                 codec: str = "zstd"):
+                 codec: Optional[str] = None):
         self.path = path
         self._writer = None
         if async_writes and not is_url_path(path):
@@ -354,10 +354,12 @@ class ZarrConfig(StorageConfig):
     async_writes: bool = True
     max_queued_writes: int = 64
     writer_threads: int = 2
-    # Chunk codec: "zstd" (default; the reference ships Blosc-Zstd,
-    # src/storage/zarr/common.rs:310-331 — plain numcodecs-"zstd" here,
-    # ~2x faster compression than zlib at similar ratio) or "zlib".
-    codec: str = "zstd"
+    # Chunk codec: "zstd" / "zlib" / None (default: zstd when the optional
+    # ``zstandard`` package is importable, else zlib — the reference ships
+    # Blosc-Zstd, src/storage/zarr/common.rs:310-331; plain numcodecs-"zstd"
+    # here is ~2x faster compression than zlib at similar ratio, but it must
+    # not be a hard dependency: the read path decompresses in Python).
+    codec: Optional[str] = None
 
     def new_trace(self, settings, model, num_chains):
         return ZarrStorage(self.path, settings, model, num_chains,

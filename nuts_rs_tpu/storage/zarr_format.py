@@ -21,19 +21,43 @@ import os
 import zlib
 
 
+def have_zstd() -> bool:
+    """True when the optional ``zstandard`` package is importable."""
+    try:
+        import zstandard  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def default_codec() -> str:
+    """Zstd when available (the reference's Blosc-Zstd counterpart,
+    src/storage/zarr/common.rs:310-331), else the stdlib zlib codec —
+    ``zstandard`` is an optional dependency (`pip install nuts_rs_tpu[zstd]`)
+    and a default must never make writes crash on a minimal install."""
+    return "zstd" if have_zstd() else "zlib"
+
+
+def _zstd_or_raise():
+    try:
+        import zstandard
+    except ImportError as e:
+        raise ImportError(
+            "the 'zstd' Zarr codec needs the optional 'zstandard' package "
+            "(pip install zstandard); write-side, codec='zlib' is the "
+            "dependency-free alternative") from e
+    return zstandard
+
+
 def _compress(raw: bytes, codec: str) -> bytes:
     if codec == "zstd":
-        import zstandard
-
-        return zstandard.ZstdCompressor(level=1).compress(raw)
+        return _zstd_or_raise().ZstdCompressor(level=1).compress(raw)
     return zlib.compress(raw, 1)
 
 
 def _decompress(raw: bytes, codec: str) -> bytes:
     if codec == "zstd":
-        import zstandard
-
-        return zstandard.ZstdDecompressor().decompress(raw)
+        return _zstd_or_raise().ZstdDecompressor().decompress(raw)
     return zlib.decompress(raw)
 from typing import Any, Mapping, Optional, Sequence
 

@@ -83,7 +83,20 @@ _SLOW_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
     for item in items:
         base = item.name.split("[")[0]
         if base in _SLOW_TESTS:
+            matched.add(base)
             item.add_marker(pytest.mark.slow)
+    # Self-check the tier list on full collections: a renamed test must not
+    # silently drop a multi-minute case into the quick lane.  (Partial
+    # collections — pytest path/file or -k selections — see only a subset,
+    # so only enforce when everything was collected.)
+    full = (not getattr(config.option, "keyword", "")
+            and all(os.path.isdir(a.split("::")[0]) for a in config.args))
+    if full:
+        stale = _SLOW_TESTS - matched
+        assert not stale, (
+            f"_SLOW_TESTS entries match no collected test: {sorted(stale)}; "
+            "update tests/conftest.py after renaming/removing tests")

@@ -224,10 +224,11 @@ def test_expand_host_fn_string_datetime_values(tmp_path):
 
     t0 = np.datetime64("2026-01-01T00:00:00", "ns")
 
-    def expand_host(pos):  # [C, k, d]
+    def expand_host(pos, first_draw):  # [C, k, d], global draw offset
         c, k, _ = pos.shape
         label = np.where(pos[..., 0] > 0, "pos", "neg").astype("<U8")
-        stamp = t0 + (np.arange(k, dtype="int64") * 1_000_000_000)[None, :]
+        idx = first_draw + np.arange(k, dtype="int64")
+        stamp = t0 + (idx * 1_000_000_000)[None, :]
         return {"sign_label": label,
                 "draw_time": np.broadcast_to(stamp, (c, k)).copy(),
                 "lag": np.full((c, k), np.timedelta64(5, "ns"))}
@@ -251,10 +252,17 @@ def test_expand_host_fn_string_datetime_values(tmp_path):
     assert set(np.unique(lab2)) <= {"pos", "neg"}
     dt = read_array(os.path.join(path, "posterior", "draw_time"))
     assert dt.dtype.kind == "M"
-    # stamps are chunk-relative (expand_host_fn sees one chunk at a time);
-    # the first posterior draw is global index 10 = row 10 of chunk 0
+    # the two-arg form receives the GLOBAL first-draw index, so stamps are
+    # chunk-size-invariant: the first posterior draw is global index 10
+    # regardless of where the chunk boundaries fall
     np.testing.assert_array_equal(
         dt[:, 0], np.full(2, t0 + np.timedelta64(10, "s")))
+    # ... and rerunning with a different chunk_size stores identical values
+    path2 = str(tmp_path / "h2.zarr")
+    nt.sample(model, settings, storage=ZarrConfig(path2, chunk_draws=10),
+              chunk_size=7)
+    dt2 = read_array(os.path.join(path2, "posterior", "draw_time"))
+    np.testing.assert_array_equal(dt, dt2)
 
 
 def test_zarr_zstd_codec_roundtrip(tmp_path):
@@ -275,3 +283,31 @@ def test_zarr_zstd_codec_roundtrip(tmp_path):
         assert meta["compressor"]["id"] == codec
         pos = read_array(os.path.join(path, "posterior", "position"))
         assert pos.shape == (2, 20, 3) and np.isfinite(pos).all()
+
+
+def test_zarr_codec_default_degrades_without_zstandard(tmp_path, monkeypatch):
+    """``zstandard`` is an OPTIONAL dependency (pyproject extra "zstd"): a
+    minimal install must still write (default codec degrades to zlib) and an
+    explicit codec="zstd" must fail with an actionable ImportError."""
+    import sys
+
+    from nuts_rs_tpu.storage import zarr_format
+
+    monkeypatch.setitem(sys.modules, "zstandard", None)
+    assert not zarr_format.have_zstd()
+    assert zarr_format.default_codec() == "zlib"
+    with pytest.raises(ImportError, match="zstandard"):
+        zarr_format._compress(b"x", "zstd")
+    with pytest.raises(ImportError, match="zstandard"):
+        zarr_format._decompress(b"x", "zstd")
+
+    model = gaussian.normal_logp(2, mu=0.0)
+    s = nt.DiagNutsSettings(num_tune=5, num_draws=5, num_chains=2, seed=0)
+    path = str(tmp_path / "noz.zarr")
+    nt.sample(model, s, chunk_size=10,
+              storage=ZarrConfig(path, chunk_draws=5, async_writes=False))
+    meta = json.load(open(os.path.join(path, "posterior", "position",
+                                       ".zarray")))
+    assert meta["compressor"]["id"] == "zlib"
+    arr = read_array(os.path.join(path, "posterior", "position"))
+    assert arr.shape == (2, 5, 2)
