@@ -551,7 +551,8 @@ def _scan_chunk_ticked(step, tick, every, num_chains, state, flags):
         steps = steps + nst
         jax.lax.cond(
             (i + 1) % every == 0,
-            lambda: jax.debug.callback(tick, i + 1, divs, steps, nst),
+            lambda: jax.debug.callback(tick, i + 1, divs, steps, nst,
+                                       stats["step_size"]),
             lambda: None)
         return (st2, divs, steps), stats
 
@@ -1142,7 +1143,7 @@ class Sampler:
                 self.progress_callback(self.progress)
         return lo, {**stats, **expanded}, tuning
 
-    def _tick_fn(self, done, divs, steps, last):
+    def _tick_fn(self, done, divs, steps, last, step_size):
         """In-chunk live-progress callback (see ``progress_tick``).
 
         Runs on the JAX callback thread while the device computes; callbacks
@@ -1159,6 +1160,7 @@ class Sampler:
         tuning = bool(self.schedule.is_tuning[min(lo + done - 1,
                                                   self._total - 1)])
         divs, steps, last = np.asarray(divs), np.asarray(steps), np.asarray(last)
+        step_size = np.asarray(step_size)
         for c, prog in enumerate(self.progress):
             b = base[c]
             prog.started = True
@@ -1166,6 +1168,7 @@ class Sampler:
             prog.divergences = b[1] + int(divs[c])
             prog.total_num_steps = b[2] + int(steps[c])
             prog.latest_num_steps = int(last[c])
+            prog.step_size = float(step_size[c])
             prog.tuning = tuning
         cb = self.progress_callback
         if cb is None:
