@@ -200,10 +200,15 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
         # 'resample'); raw schedule rows alone KeyError in those runners.
         kflags = settings.extra_flags(
             _schedule_chunk(sampler.schedule, lo, hi), lo, hi)
-        _, kstats = runner(sampler.state, kflags)   # compile + warm
+        kstate, kstats = runner(sampler.state, kflags)   # compile + warm
         jax.block_until_ready(kstats)
+        # Chain the warm call's OUTPUT state into the timed call: repeating
+        # the identical (state, flags) request was served from a cache by
+        # the remote-execution layer (measured: a 0.6 s stream-tier launch
+        # "completed" in 0.7 ms on the second identical call, reporting an
+        # impossible 500M evals/s).
         t0 = time.monotonic()
-        _, kstats = runner(sampler.state, kflags)
+        _, kstats = runner(kstate, kflags)
         jax.block_until_ready(kstats)
         dt = time.monotonic() - t0
         kernel_rate = float(np.asarray(kstats["n_steps"]).sum()) / dt
@@ -322,7 +327,9 @@ def run_bench():
             # Headline config with the device->host payload knobs on
             # (stats thinned on device + f16 draws): what end-to-end
             # recovers when the transfer link is the bottleneck.
-            ("normal_d10_thin", dict(attempts=1, sampler_kw=dict(
+            # attempts=2: a single pass is at the mercy of one tunnel
+            # window (measured 2x run-to-run swings).
+            ("normal_d10_thin", dict(attempts=2, sampler_kw=dict(
                 keep_stats=(), draw_dtype=jnp.float16)))]
     for name, kw in side:
         try:
