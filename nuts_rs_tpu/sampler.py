@@ -756,8 +756,11 @@ class Sampler:
                 n_pos = sum(p.kind in (p.POSITIONAL_ONLY,
                                        p.POSITIONAL_OR_KEYWORD)
                             for p in params)
-                var_pos = any(p.kind is p.VAR_POSITIONAL for p in params)
-                self._expand_host_wants_offset = n_pos >= 2 or var_pos
+                # Only EXPLICIT two-parameter signatures opt in: a bare
+                # *args wrapper around a one-argument fn must keep getting
+                # the one-argument call (backward compatibility beats
+                # guessing).
+                self._expand_host_wants_offset = n_pos >= 2
             except (TypeError, ValueError):
                 pass  # builtins/C callables: single-argument form
 
@@ -962,9 +965,17 @@ class Sampler:
         # posterior_kernel to the draw-async engine, so keying off the raw
         # field would (a) never fall back for async_posterior users and
         # (b) "fall back" onto the same failing engine when both are set.
-        kind = getattr(self.settings, "_posterior_kernel",
-                       getattr(self.settings, "posterior_kernel", "sync"))
-        if kind not in ("pallas", "async") or self._engine_fell_back:
+        # Mirror build_phases' eligibility gates too: a request that build
+        # _phases already demoted to the XLA sync runner (extra stores with
+        # "async", _pallas_ok()==False) has nothing to fall back FROM — a
+        # failure there is a real error that must propagate immediately.
+        s = self.settings
+        kind = getattr(s, "_posterior_kernel",
+                       getattr(s, "posterior_kernel", "sync"))
+        fused = ((kind == "async" and getattr(s, "_no_extra_stores", False))
+                 or (kind == "pallas"
+                     and getattr(s, "_pallas_ok", lambda: False)()))
+        if not fused or self._engine_fell_back:
             return False
         if any(getattr(x, "is_deleted", lambda: False)()
                for x in jax.tree.leaves(self.state)):

@@ -94,9 +94,19 @@ def pytest_collection_modifyitems(config, items):
     # collections — pytest path/file or -k selections — see only a subset,
     # so only enforce when everything was collected.)
     full = (not getattr(config.option, "keyword", "")
+            and not config.getoption("--ignore", None)
+            and not config.getoption("--ignore-glob", None)
             and all(os.path.isdir(a.split("::")[0]) for a in config.args))
     if full:
         stale = _SLOW_TESTS - matched
-        assert not stale, (
-            f"_SLOW_TESTS entries match no collected test: {sorted(stale)}; "
-            "update tests/conftest.py after renaming/removing tests")
+        if stale:
+            # Warn, don't assert: a collection/import error elsewhere also
+            # leaves entries unmatched, and the real error must stay the
+            # headline.  The warning keeps renames from silently demoting a
+            # slow test into the quick lane.
+            import warnings
+
+            warnings.warn(
+                f"_SLOW_TESTS entries match no collected test: "
+                f"{sorted(stale)}; update tests/conftest.py after "
+                "renaming/removing tests", UserWarning)
