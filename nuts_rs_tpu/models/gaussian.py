@@ -115,8 +115,11 @@ def funnel(dim: int = 10) -> Model:
 
 def eight_schools() -> Model:
     """Non-centered eight schools; q = [mu, log_tau, theta_tilde x 8]."""
-    y = jnp.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
-    sigma = jnp.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+    # Host (numpy) constants: model data captured in jit closures must live
+    # on the host so re-tracing after a device restart (Sampler auto_recover)
+    # re-uploads it instead of reading a dead device buffer.
+    y = np.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+    sigma = np.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
 
     def logp(q):
         mu, log_tau, tt = q[0], q[1], q[2:]

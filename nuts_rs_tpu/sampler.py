@@ -464,6 +464,17 @@ class ChainProgress:
     error: Optional[str] = None
 
 
+class DeviceLostError(RuntimeError):
+    """The device died mid-run and could not be reconnected in-process.
+
+    Raised by ``auto_recover`` when the reconnect probe keeps failing after
+    a device fault.  The last chunk-boundary snapshot has been written to
+    ``Sampler(recovery_path=...)`` in checkpoint format and storage was
+    flushed; a Sampler built with the same settings in a fresh process
+    continues via ``restore(recovery_path)``.
+    """
+
+
 class ChainFailedError(RuntimeError):
     """A chain's logp function failed unrecoverably (every draw diverges and
     the chain never moves — e.g. logp permanently returns NaN).
@@ -585,6 +596,8 @@ class Sampler:
         keep_stats=None,
         draw_dtype=None,
         progress_tick: Optional[int] = None,
+        auto_recover=0,
+        recovery_path: Optional[str] = None,
     ):
         # Mesh execution (SURVEY.md §2.12): shard the chain axis over a
         # ``jax.sharding.Mesh`` with ``shard_map`` so chains scale across
@@ -845,6 +858,145 @@ class Sampler:
             keep_stats = set(keep_stats) | needed
         self._stats_keep = keep_stats
         self.draw_dtype = draw_dtype
+        # Device-fault auto-recovery (SURVEY.md §5 failure recovery, beyond
+        # the reference): with auto_recover=N, the sampler keeps a HOST
+        # snapshot of the device state at every completed-chunk boundary
+        # (one extra D2H of the state pytree per chunk) and, when a chunk
+        # dies with a device-fault error (worker crash/restart, OOM — the
+        # two libtpu fault classes in BASELINE.md), restores the snapshot,
+        # HALVES the chain-group launch size, rebuilds fresh executables,
+        # and replays from the boundary — up to N times.  Storage stays
+        # consistent because the snapshot is taken only after the chunk is
+        # fully recorded.  Requires model data captured in jit closures to
+        # be host (numpy) arrays so re-tracing re-uploads it.  Disables
+        # run()'s launch/finish pipelining.  Incompatible with mesh
+        # execution (a multi-chip fault domain needs external orchestration).
+        if auto_recover is True:
+            auto_recover = 3
+        self._auto_recover = int(auto_recover or 0)
+        self._recover_left = self._auto_recover
+        if self._auto_recover and mesh is not None:
+            raise ValueError(
+                "auto_recover is incompatible with mesh execution")
+        if recovery_path is not None and not recovery_path.endswith(".npz"):
+            recovery_path += ".npz"  # np.savez appends it silently otherwise
+        self.recovery_path = recovery_path
+        self._snap_state = None
+        self._snap_draw = 0
+        self._snap_streak = None
+        self._snap_last_pos = None
+        if self._auto_recover:
+            self._take_snapshot()
+
+    def _take_snapshot(self) -> None:
+        """Host snapshot of everything needed to replay from this chunk
+        boundary (see ``auto_recover``).  Typed PRNG keys round-trip via
+        key_data/wrap_key_data (same scheme as checkpoint.py)."""
+        from .checkpoint import _is_key
+
+        self._snap_state = jax.tree.map(
+            lambda x: (np.asarray(jax.random.key_data(x)) if _is_key(x)
+                       else np.asarray(x)), self.state)
+        self._snap_draw = self._next_draw
+        self._snap_streak = self._div_streak.copy()
+        self._snap_last_pos = (None if self._last_pos is None
+                               else self._last_pos.copy())
+
+    def _spill_snapshot(self, path: str) -> None:
+        """Write the replay snapshot to disk in checkpoint format, so a
+        fresh process resumes it with :meth:`restore` (see
+        :class:`DeviceLostError`).  Pure host work — safe on a dead device."""
+        from .checkpoint import _is_key
+
+        snap_leaves = jax.tree.leaves(self._snap_state)
+        # Key flags come from the live state's leaf METADATA (dtype checks
+        # work on deleted device arrays).
+        flags = [i for i, leaf in enumerate(jax.tree.leaves(self.state))
+                 if _is_key(leaf)]
+        arrays = {f"leaf_{i}": np.asarray(a)
+                  for i, a in enumerate(snap_leaves)}
+        arrays["__key_leaves__"] = np.asarray(flags, np.int64)
+        arrays["__next_draw__"] = np.asarray(self._snap_draw, np.int64)
+        arrays["__num_leaves__"] = np.asarray(len(snap_leaves), np.int64)
+        np.savez(path, **arrays)
+
+    _RECOVERABLE_TOKENS = ("UNAVAILABLE", "crashed or restarted",
+                           "RESOURCE_EXHAUSTED", "DATA_LOSS", "kernel fault")
+
+    def _maybe_recover(self, err: Exception) -> bool:
+        """Restore the last chunk-boundary snapshot after a device fault and
+        shrink the launch batch; False when not eligible (error type, budget,
+        feature off) — the caller re-raises."""
+        if not self._auto_recover or self._recover_left <= 0:
+            return False
+        msg = f"{type(err).__name__}: {err}"
+        if not any(tok in msg for tok in self._RECOVERABLE_TOKENS):
+            return False
+        self._recover_left -= 1
+        if self.progress_tick is None:  # ticks forbid split launches
+            C = self.settings.num_chains
+            b = self.max_chains_per_launch or C
+            if b > 1:
+                nb = max(1, b // 2)
+                while C % nb:  # keep the group size a divisor of C
+                    nb -= 1
+                self.max_chains_per_launch = nb
+        warnings.warn(
+            f"device fault during the chunk at draw {self._snap_draw} "
+            f"({msg[:200]}); restoring the snapshot and retrying with "
+            f"max_chains_per_launch={self.max_chains_per_launch} "
+            f"({self._recover_left} retries left)", RuntimeWarning)
+        # The worker may still be RESTARTING (measured: the re-upload after
+        # a live v5e worker crash raised UNAVAILABLE when issued
+        # immediately): probe the device with exponential backoff before
+        # moving the snapshot back on.
+        alive = False
+        delay = 5.0
+        for _ in range(6):
+            try:
+                jax.block_until_ready(jnp.zeros(8) + 1.0)
+                alive = True
+                break
+            except Exception:
+                time.sleep(delay)
+                delay = min(delay * 2, 60.0)
+        if not alive:
+            # In-process reconnection is impossible on some platforms: the
+            # tunneled axon client stays wedged after a v5e worker crash
+            # even through jax.extend.backend.clear_backends() (measured).
+            # Escape hatch: spill the replay snapshot to disk in checkpoint
+            # format, flush storage, and tell the caller to resume in a
+            # fresh process via Sampler.restore().
+            if self.recovery_path is not None:
+                self._spill_snapshot(self.recovery_path)
+                try:
+                    self.flush()
+                except Exception:
+                    pass
+                raise DeviceLostError(
+                    f"device unreachable after a fault; the draw-"
+                    f"{self._snap_draw} snapshot was saved to "
+                    f"{self.recovery_path!r} — build a Sampler with the "
+                    "same settings in a NEW process and call "
+                    f"restore({self.recovery_path!r}) to continue"
+                ) from err
+            return False  # caller re-raises the original fault
+        from .checkpoint import _is_key
+
+        self.state = jax.tree.map(
+            lambda ref, a: (jax.random.wrap_key_data(jnp.asarray(a))
+                            if _is_key(ref) else jnp.asarray(a)),
+            self.state, self._snap_state)
+        self._next_draw = self._snap_draw
+        self._div_streak = self._snap_streak.copy()
+        self._last_pos = (None if self._snap_last_pos is None
+                          else self._snap_last_pos.copy())
+        self._tick_base = None
+        self._live_done = 0
+        # Fresh jit objects: executables compiled before a worker restart
+        # may be bound to the dead device instance.
+        self._build_phase_runners()
+        return True
 
     def _build_phase_runners(self):
         """(Re)build the per-phase jitted runners from ``self.settings``.
@@ -1006,7 +1158,14 @@ class Sampler:
         callers like :func:`sample_sequentially` can consume draws lazily as
         they land.
         """
-        return self._finish_chunk(*self._launch_chunk())
+        while True:
+            try:
+                return self._finish_chunk(*self._launch_chunk())
+            except Exception as e:
+                # Device-fault auto-recovery (see ``auto_recover``): restore
+                # the last chunk-boundary snapshot and replay.
+                if not self._maybe_recover(e):
+                    raise
 
     def _launch_chunk(self):
         """Dispatch one chunk's device computation (async) and advance the
@@ -1152,6 +1311,9 @@ class Sampler:
                     or self.finished):
                 self._last_callback = now
                 self.progress_callback(self.progress)
+        if self._auto_recover:
+            # Chunk fully recorded + accounted: this is a replay boundary.
+            self._take_snapshot()
         return lo, {**stats, **expanded}, tuning
 
     def _tick_fn(self, done, divs, steps, last, step_size):
@@ -1300,7 +1462,10 @@ class Sampler:
         # writes overlap the next chunk's compute instead of serializing
         # with it.
         pending = None
-        pipelined = self.progress_tick is None  # see progress_tick in __init__
+        # Ticks need ordered tick bookkeeping; auto-recovery needs the
+        # snapshot boundary to trail the LAST STORED chunk — both require
+        # finish-before-next-launch (see their __init__ notes).
+        pipelined = self.progress_tick is None and not self._auto_recover
         while (not self.finished and not self.converged
                and not self._failed_chains):
             if self._paused:
@@ -1379,6 +1544,8 @@ class Sampler:
         self._post_buffer = []
         self._post_thin = 1
         self._post_seen = 0
+        if self._auto_recover:
+            self._take_snapshot()  # the pre-restore snapshot is stale
 
     def inspect(self):
         return self.trace.inspect()

@@ -92,3 +92,110 @@ def test_detector_streak_resets_across_chunks():
     with pytest.raises(nt.ChainFailedError):
         sampler.run()
     assert sampler._next_draw <= 48  # detected shortly after 24 draws
+
+
+def _fault(*_a, **_k):
+    raise RuntimeError("UNAVAILABLE: TPU worker process crashed or restarted."
+                       " This can be caused by a kernel fault.")
+
+
+def test_auto_recover_replays_from_chunk_boundary():
+    """Device-fault auto-recovery: a chunk that dies with a worker-crash
+    error is replayed from the last completed-chunk snapshot with a halved
+    launch group; the finished trace has every draw exactly once."""
+    from nuts_rs_tpu.models import gaussian
+
+    model = gaussian.normal_logp(3, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=20, num_draws=20, num_chains=8,
+                                   seed=3)
+    s = nt.Sampler(model, settings, chunk_size=10, auto_recover=2)
+    s.run_next_chunk()  # one clean chunk -> snapshot at draw 10
+    real = list(s._phase_runners)
+    s._phase_runners = [(a, b, _fault) for a, b, _ in real]
+    with pytest.warns(RuntimeWarning, match="device fault"):
+        trace = s.run()  # recovery rebuilds the REAL runners and replays
+    assert s.max_chains_per_launch == 4  # halved from the full 8
+    assert s._recover_left == 1
+    pos = np.asarray(trace.posterior["position"])
+    assert pos.shape == (8, 20, 3) and np.isfinite(pos).all()
+    # every draw exactly once: counts match an unperturbed run, and the
+    # draws agree to float-reassociation noise (split launches may
+    # reassociate reductions)
+    t2 = nt.sample(model, settings, chunk_size=10)
+    np.testing.assert_array_equal(
+        np.asarray(trace.sample_stats["n_steps"]),
+        np.asarray(t2.sample_stats["n_steps"]))
+    np.testing.assert_allclose(pos, np.asarray(t2.posterior["position"]),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_auto_recover_budget_and_error_filter():
+    from nuts_rs_tpu.models import gaussian
+
+    model = gaussian.normal_logp(2, mu=0.0)
+    settings = nt.DiagNutsSettings(num_tune=8, num_draws=8, num_chains=4,
+                                   seed=0)
+    # non-device errors propagate immediately, budget untouched
+    s = nt.Sampler(model, settings, chunk_size=8, auto_recover=2)
+    s._phase_runners = [
+        (a, b, lambda *_: (_ for _ in ()).throw(ValueError("user bug")))
+        for a, b, _ in s._phase_runners]
+    with pytest.raises(ValueError, match="user bug"):
+        s.run_next_chunk()
+    assert s._recover_left == 2
+    # feature off: device-fault errors propagate
+    s2 = nt.Sampler(model, settings, chunk_size=8)
+    s2._phase_runners = [(a, b, _fault) for a, b, _ in s2._phase_runners]
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        s2.run_next_chunk()
+    # exhausted budget: the fault propagates after N replays (pin the
+    # faulting runners past recovery's runner rebuild)
+    s3 = nt.Sampler(model, settings, chunk_size=8, auto_recover=1)
+    s3._phase_runners = [(a, b, _fault) for a, b, _ in s3._phase_runners]
+    s3._build_phase_runners = lambda: None
+    with pytest.warns(RuntimeWarning, match="device fault"):
+        with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+            s3.run_next_chunk()
+    assert s3._recover_left == 0
+
+
+def test_auto_recover_spills_snapshot_when_device_stays_dead(tmp_path,
+                                                             monkeypatch):
+    """When the reconnect probe keeps failing (in-process reconnection after
+    a hard worker crash is impossible on some platforms), the snapshot is
+    spilled to recovery_path in checkpoint format and DeviceLostError tells
+    the user to resume in a fresh process — which must produce the remaining
+    draws bit-identically to an uninterrupted run."""
+    from nuts_rs_tpu.models import gaussian
+    from nuts_rs_tpu.sampler import DeviceLostError
+
+    model = gaussian.normal_logp(3, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=20, num_draws=20, num_chains=4,
+                                   seed=7)
+    path = str(tmp_path / "recover.npz")
+    s = nt.Sampler(model, settings, chunk_size=10, auto_recover=2,
+                   recovery_path=path)
+    s.run_next_chunk()  # snapshot at draw 10
+    s._phase_runners = [(a, b, _fault) for a, b, _ in s._phase_runners]
+    # dead device: the probe inside _maybe_recover must keep failing
+    monkeypatch.setattr("jax.block_until_ready",
+                        lambda _x: _fault())
+    monkeypatch.setattr("time.sleep", lambda _s: None)
+    with pytest.warns(RuntimeWarning, match="device fault"):
+        with pytest.raises(DeviceLostError, match="restore"):
+            s.run_next_chunk()
+    assert os.path.exists(path)
+
+    # "fresh process": a new Sampler with the same settings resumes
+    s2 = nt.Sampler(model, settings, chunk_size=10)
+    s2.restore(path)
+    assert s2._next_draw == 10
+    while not s2.finished:
+        s2.run_next_chunk()
+    resumed = s2.trace.finalize()
+
+    clean = nt.sample(model, settings, chunk_size=10)
+    np.testing.assert_array_equal(
+        np.asarray(resumed.posterior["position"]),
+        np.asarray(clean.posterior["position"])[:, 10 - settings.num_tune:]
+        if False else np.asarray(clean.posterior["position"]))
