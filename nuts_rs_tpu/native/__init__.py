@@ -10,6 +10,6 @@ when no compiler is available everything falls back to synchronous Python
 writes.
 """
 
-from .writer import AsyncTraceWriter, native_available
+from .writer import AsyncTraceWriter, native_available, native_zstd_available
 
-__all__ = ["AsyncTraceWriter", "native_available"]
+__all__ = ["AsyncTraceWriter", "native_available", "native_zstd_available"]

@@ -26,7 +26,9 @@
 #include <vector>
 
 #include <zlib.h>
+#ifndef NO_ZSTD
 #include <zstd.h>
+#endif
 
 namespace {
 
@@ -67,6 +69,12 @@ struct Writer {
     size_t payload_len = job.data.size();
 
     if (job.compress_level >= 0 && job.codec == 1) {
+#ifdef NO_ZSTD
+      // Fallback build on hosts without libzstd: the zlib async path stays
+      // available; zstd jobs must be compressed Python-side (write_raw).
+      *err = "native writer built without zstd (NO_ZSTD): " + job.path;
+      return false;
+#else
       size_t bound = ZSTD_compressBound(job.data.size());
       out.resize(bound);
       size_t n = ZSTD_compress(out.data(), bound, job.data.data(),
@@ -77,6 +85,7 @@ struct Writer {
       }
       payload = out.data();
       payload_len = n;
+#endif
     } else if (job.compress_level >= 0) {
       uLongf bound = compressBound(job.data.size());
       out.resize(bound);

@@ -14,18 +14,35 @@ _LIB = os.path.join(_HERE, "_trace_writer.so")
 _lock = threading.Lock()
 _lib = None
 _build_error: str | None = None
+# True when the loaded native library was linked with libzstd (codec="zstd"
+# compresses on the worker threads); False on the NO_ZSTD fallback build,
+# where zstd chunks must be compressed Python-side and handed to write_raw.
+_lib_has_zstd = True
+_ZSTD_MARK = _LIB + ".nozstd"  # records which variant the cached .so is
 
 
 def _build() -> None:
-    cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        _SRC, "-o", _LIB, "-lz", "-lzstd",
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    """Build the native writer, preferring the -lzstd link; hosts without
+    libzstd get a -DNO_ZSTD build so the zlib async path stays available
+    (the previous unconditional -lzstd link killed the whole native writer
+    on such hosts)."""
+    global _lib_has_zstd
+    base = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
+            _SRC, "-o", _LIB, "-lz"]
+    try:
+        subprocess.run(base + ["-lzstd"], check=True, capture_output=True)
+        _lib_has_zstd = True
+        if os.path.exists(_ZSTD_MARK):
+            os.remove(_ZSTD_MARK)
+    except subprocess.CalledProcessError:
+        subprocess.run(base + ["-DNO_ZSTD"], check=True, capture_output=True)
+        _lib_has_zstd = False
+        with open(_ZSTD_MARK, "w"):
+            pass
 
 
 def _load():
-    global _lib, _build_error
+    global _lib, _build_error, _lib_has_zstd
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
@@ -33,6 +50,8 @@ def _load():
             if (not os.path.exists(_LIB)
                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
                 _build()
+            else:
+                _lib_has_zstd = not os.path.exists(_ZSTD_MARK)
             lib = ctypes.CDLL(_LIB)
         except (OSError, subprocess.CalledProcessError) as e:
             _build_error = str(e)
@@ -61,6 +80,11 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def native_zstd_available() -> bool:
+    """True when the native writer compresses zstd itself (built -lzstd)."""
+    return _load() is not None and _lib_has_zstd
+
+
 class AsyncTraceWriter:
     """Bounded-queue async file writer backed by the C++ worker pool.
 
@@ -76,6 +100,9 @@ class AsyncTraceWriter:
                 f"native trace writer unavailable: {_build_error}")
         self._lib = lib
         self._handle = lib.tw_create(max_queue, n_threads)
+        # False on the NO_ZSTD fallback build: callers must compress zstd
+        # payloads Python-side and use write_raw (see storage/zarr_format).
+        self.supports_zstd = _lib_has_zstd
 
     def _live_handle(self):
         # A NULL handle would be dereferenced by the C side (hard segfault,

@@ -143,21 +143,40 @@ class NutsSettings:
             return "async"
         return self.posterior_kernel
 
+    def _pallas_disqualifiers(self) -> list:
+        """Settings that keep a ``posterior_kernel="pallas"`` request off the
+        fused engine (named so the demotion warning can say WHY).
+
+        diag: fused warmup + posterior.  flow: fused posterior with the
+        FROZEN learned flow (pooled params ride the MXU; warmup — flow
+        refits — stays on the XLA path); the runner builder returns None
+        (-> XLA fallback) for flows without pallas hooks or with
+        per-chain (unpooled) params.  low_rank: measured slower fused
+        than XLA (BASELINE.md), always falls back."""
+        reasons = []
+        if self.mass_matrix not in ("diag", "flow"):
+            reasons.append(f"mass_matrix={self.mass_matrix!r} (the fused "
+                           "low-rank transform measured slower than XLA)")
+        if self.kinetic_energy is not KineticKind.EUCLIDEAN:
+            reasons.append(f"kinetic_energy={self.kinetic_energy.name}")
+        if self.mindepth != 0:
+            reasons.append(f"mindepth={self.mindepth}")
+        if self.extra_doublings != 0:
+            reasons.append(f"extra_doublings={self.extra_doublings}")
+        if self.target_integration_time is not None:
+            reasons.append("target_integration_time")
+        if not self.check_turning:
+            reasons.append("check_turning=False")
+        if not self._no_extra_stores:
+            reasons.append("store_gradient/store_unconstrained/"
+                           "store_transformed/store_divergences/"
+                           "store_mass_matrix")
+        if self.cross_chain_adaptation:
+            reasons.append("cross_chain_adaptation=True")
+        return reasons
+
     def _pallas_ok(self) -> bool:
-        # diag: fused warmup + posterior.  flow: fused posterior with the
-        # FROZEN learned flow (pooled params ride the MXU; warmup — flow
-        # refits — stays on the XLA path); the runner builder returns None
-        # (-> XLA fallback) for flows without pallas hooks or with
-        # per-chain (unpooled) params.  low_rank: measured slower fused
-        # than XLA (BASELINE.md), always falls back.
-        return (self.mass_matrix in ("diag", "flow")
-                and self.kinetic_energy is KineticKind.EUCLIDEAN
-                and self.mindepth == 0
-                and self.extra_doublings == 0
-                and self.target_integration_time is None
-                and self.check_turning
-                and self._no_extra_stores
-                and not self.cross_chain_adaptation)
+        return not self._pallas_disqualifiers()
 
     def build_phases(self, model, strategy, config):
         from .chain import (
@@ -179,8 +198,35 @@ class NutsSettings:
         else:
             if kind not in ("sync", "async", "pallas"):
                 raise ValueError(f"unknown posterior_kernel {kind!r}")
+            # Demotion must be LOUD: a user asking for a fast engine plus an
+            # incompatible setting used to silently get the sync path (only
+            # engine *failures* warned).
+            import warnings
+
+            if kind == "pallas":
+                warnings.warn(
+                    "posterior_kernel='pallas' requested but the fused "
+                    "engine does not support: "
+                    + "; ".join(self._pallas_disqualifiers())
+                    + " — using the XLA sync kernel", UserWarning)
+            elif kind == "async":
+                warnings.warn(
+                    "async posterior kernel requested but extra stores "
+                    "(store_gradient/store_unconstrained/store_transformed/"
+                    "store_divergences/store_mass_matrix) are enabled — "
+                    "using the XLA sync kernel", UserWarning)
             runner = None
         if runner is None:
+            if kind == "pallas" and self._pallas_ok():
+                # The settings qualified but the runner BUILDER declined:
+                # model exceeds the engine's VMEM tiers or lacks pallas
+                # hooks (flows without pallas_spec, unpooled flow params).
+                import warnings
+
+                warnings.warn(
+                    "posterior_kernel='pallas' requested but no fused-"
+                    "engine tier fits this model (VMEM budget or missing "
+                    "pallas hooks) — using the XLA sync kernel", UserWarning)
             return [(0, total, sync)]
         if (kind == "pallas"
                 and self.mass_matrix == "diag"
@@ -766,14 +812,17 @@ class Sampler:
             try:
                 params = inspect.signature(
                     model.expand_host_fn).parameters.values()
-                n_pos = sum(p.kind in (p.POSITIONAL_ONLY,
-                                       p.POSITIONAL_OR_KEYWORD)
-                            for p in params)
-                # Only EXPLICIT two-parameter signatures opt in: a bare
-                # *args wrapper around a one-argument fn must keep getting
-                # the one-argument call (backward compatibility beats
-                # guessing).
-                self._expand_host_wants_offset = n_pos >= 2
+                pos = [p for p in params
+                       if p.kind in (p.POSITIONAL_ONLY,
+                                     p.POSITIONAL_OR_KEYWORD)]
+                # Only EXPLICIT two-REQUIRED-parameter signatures opt in: a
+                # bare *args wrapper around a one-argument fn, and a
+                # one-argument fn with a defaulted extra (def f(pos,
+                # scale=1.0)), must keep getting the one-argument call — the
+                # defaulted parameter is the user's knob, not the draw
+                # offset (backward compatibility beats guessing).
+                self._expand_host_wants_offset = (
+                    len(pos) >= 2 and pos[1].default is pos[1].empty)
             except (TypeError, ValueError):
                 pass  # builtins/C callables: single-argument form
 
@@ -888,19 +937,32 @@ class Sampler:
         if self._auto_recover:
             self._take_snapshot()
 
-    def _take_snapshot(self) -> None:
-        """Host snapshot of everything needed to replay from this chunk
-        boundary (see ``auto_recover``).  Typed PRNG keys round-trip via
-        key_data/wrap_key_data (same scheme as checkpoint.py)."""
+    def _materialize_snapshot(self):
+        """D2H copy of the device state for auto-recovery — the fault-prone
+        half of the snapshot, split out so _finish_chunk can run it BEFORE
+        the chunk's host-side accounting (a fault here must replay a chunk
+        that was never recorded, not one that was).  Typed PRNG keys
+        round-trip via key_data/wrap_key_data (same scheme as
+        checkpoint.py)."""
         from .checkpoint import _is_key
 
-        self._snap_state = jax.tree.map(
+        return jax.tree.map(
             lambda x: (np.asarray(jax.random.key_data(x)) if _is_key(x)
                        else np.asarray(x)), self.state)
+
+    def _commit_snapshot(self, snap_state) -> None:
+        """Adopt a materialized state snapshot as the replay boundary —
+        pure host work, safe after record/progress/convergence accounting."""
+        self._snap_state = snap_state
         self._snap_draw = self._next_draw
         self._snap_streak = self._div_streak.copy()
         self._snap_last_pos = (None if self._last_pos is None
                                else self._last_pos.copy())
+
+    def _take_snapshot(self) -> None:
+        """Host snapshot of everything needed to replay from this chunk
+        boundary (see ``auto_recover``)."""
+        self._commit_snapshot(self._materialize_snapshot())
 
     def _spill_snapshot(self, path: str) -> None:
         """Write the replay snapshot to disk in checkpoint format, so a
@@ -1244,12 +1306,48 @@ class Sampler:
         # Transfer-reduction knobs run ON DEVICE, before any D2H move.
         if self._stats_keep is not None:
             stats = {k: v for k, v in stats.items() if k in self._stats_keep}
+        pos_full_dev = None
+        detector_same = None
         if self.draw_dtype is not None and "position" in stats:
             stats = dict(stats)
+            pos_full_dev = stats["position"]       # [k, C, d] full precision
+            if self.fail_after is not None:
+                # The stuck-chain detector compares successive positions for
+                # EQUALITY; in a downcast dtype (f16) genuinely tiny moves
+                # round to bit-identical values and a slow-but-healthy chain
+                # would be declared permanently failed.  Compute the
+                # comparison ON DEVICE in full precision (NaN equal to NaN,
+                # matching the host detector) and hand the [k, C] mask over;
+                # only the copy bound for storage is downcast.
+                prev = (pos_full_dev[0] if self._last_pos is None
+                        else jnp.asarray(self._last_pos,
+                                         dtype=pos_full_dev.dtype))
+                prev_all = jnp.concatenate([prev[None], pos_full_dev[:-1]], 0)
+                eq = ((pos_full_dev == prev_all)
+                      | (jnp.isnan(pos_full_dev) & jnp.isnan(prev_all)))
+                same = jnp.all(eq, axis=-1)        # [k, C]
+                if self._last_pos is None:
+                    # The run's first draw has no predecessor: it moved.
+                    same = same.at[0].set(False)
+                detector_same = same
             stats["position"] = stats["position"].astype(self.draw_dtype)
         # Device -> host; [k, C, ...] -> [C, k, ...]
         stats = jax.tree.map(lambda x: np.moveaxis(np.asarray(x), 0, 1), stats)
+        if detector_same is not None:
+            detector_same = np.moveaxis(np.asarray(detector_same), 0, 1)
+        detector_last = (np.asarray(pos_full_dev[-1])
+                         if pos_full_dev is not None
+                         and self.fail_after is not None else None)
         elapsed = time.monotonic() - t0
+        # Auto-recovery: materialize the post-chunk state snapshot BEFORE
+        # the host-side accounting below.  The snapshot D2H is the one
+        # device interaction that used to run AFTER record_chunk; a worker
+        # crash surfacing there replayed an already-recorded chunk, double-
+        # counting ChainProgress/divergence events and misaligning the
+        # convergence buffer.  The snapshot is COMMITTED (adopted as the
+        # replay boundary) only once everything is recorded.
+        pending_snap = (self._materialize_snapshot()
+                        if self._auto_recover else None)
 
         expanded = {}
         if self._expand_chunk is not None:
@@ -1257,7 +1355,13 @@ class Sampler:
             c = self.settings.num_chains
             keys = jax.random.split(
                 jax.random.fold_in(self._expand_key, lo), (c, k))
-            exp = self._expand_chunk(keys, stats["position"])
+            # Expansion reads the FULL-precision positions when draw_dtype
+            # downcasts the stored copy (deterministics must not inherit
+            # f16 rounding; the device array also skips a host round-trip).
+            pos_for_expand = (jnp.moveaxis(pos_full_dev, 0, 1)
+                              if pos_full_dev is not None
+                              else stats["position"])
+            exp = self._expand_chunk(keys, pos_for_expand)
             expanded = {name: np.asarray(v) for name, v in exp.items()}
         if self.model.expand_host_fn is not None:
             # Host-side expansion: arbitrary numpy dtypes (strings,
@@ -1304,7 +1408,8 @@ class Sampler:
                 self.converged = self.stop_when.satisfied(series)
         self._update_progress(lo, stats, tuning, elapsed)
         if self.fail_after is not None:
-            self._detect_failed_chains(stats)
+            self._detect_failed_chains(stats, same=detector_same,
+                                       last_pos=detector_last)
         if self.progress_callback is not None:
             now = time.monotonic()
             if (now - self._last_callback >= self.progress_rate_seconds
@@ -1312,8 +1417,9 @@ class Sampler:
                 self._last_callback = now
                 self.progress_callback(self.progress)
         if self._auto_recover:
-            # Chunk fully recorded + accounted: this is a replay boundary.
-            self._take_snapshot()
+            # Chunk fully recorded + accounted: commit the replay boundary
+            # (state already materialized above, before the accounting).
+            self._commit_snapshot(pending_snap)
         return lo, {**stats, **expanded}, tuning
 
     def _tick_fn(self, done, divs, steps, last, step_size):
@@ -1356,7 +1462,14 @@ class Sampler:
             # All of this chunk's ticks have fired once the device results
             # are on the host, but flush the callback queue and rewind the
             # provisional values before the exact accumulation below.
-            jax.effects_barrier()
+            try:
+                jax.effects_barrier()
+            except Exception:
+                # A dying runtime can fail the barrier AFTER this chunk was
+                # recorded; the rewind below still applies (late ticks see
+                # _tick_base None and return), and the fault resurfaces at
+                # the next launch where replay is safe.
+                pass
             for c, prog in enumerate(self.progress):
                 (prog.finished_draws, prog.divergences,
                  prog.total_num_steps) = self._tick_base[c]
@@ -1382,7 +1495,7 @@ class Sampler:
             prog.step_size = float(stats["step_size"][c, -1])
             prog.runtime += elapsed * (steps_per_chain[c] / max_steps)
 
-    def _detect_failed_chains(self, stats) -> None:
+    def _detect_failed_chains(self, stats, same=None, last_pos=None) -> None:
         """Between-chunk unrecoverable-failure detector (see ``fail_after``).
 
         A chain accumulates a "stuck" streak over draws that BOTH diverged
@@ -1398,26 +1511,38 @@ class Sampler:
         raise :class:`ChainFailedError` (reference: src/sampler.rs:1202-1207
         stops the chain, 1452-1457 still finalizes every trace).
         """
-        pos = np.asarray(stats["position"])          # [C, k, d]
         div = np.asarray(stats["diverging"]).astype(bool)  # [C, k]
         C, k = div.shape
-        if not div.any():
-            # Nothing can extend a streak; every chain had an ok draw.
-            self._div_streak[:] = 0
+        if same is not None:
+            # draw_dtype path: the position-equality mask was computed ON
+            # DEVICE in full precision (_finish_chunk) because the stored
+            # positions are downcast; ``last_pos`` is the full-precision
+            # final position.
+            if not div.any():
+                self._div_streak[:] = 0
+                self._last_pos = last_pos
+                return
+            stuck = div & same
+            self._last_pos = last_pos
+        else:
+            pos = np.asarray(stats["position"])          # [C, k, d]
+            if not div.any():
+                # Nothing can extend a streak; every chain had an ok draw.
+                self._div_streak[:] = 0
+                self._last_pos = pos[:, -1].copy()
+                return
+            # Per-draw comparison slices ([C, d] temporaries) instead of one
+            # [C, k+1, d] concatenated copy — at 1024 chains x 700-draw
+            # chunks the copy transiently doubled the largest host buffer.
+            stuck = np.zeros((C, k), bool)
+            prev = self._last_pos  # None on the run's first chunk: no
+            for j in range(k):     # predecessor, first draw counts as moved
+                if prev is not None and div[:, j].any():
+                    cur = pos[:, j]
+                    eq = (cur == prev) | (np.isnan(cur) & np.isnan(prev))
+                    stuck[:, j] = div[:, j] & eq.all(axis=-1)
+                prev = pos[:, j]
             self._last_pos = pos[:, -1].copy()
-            return
-        # Per-draw comparison slices ([C, d] temporaries) instead of one
-        # [C, k+1, d] concatenated copy — at 1024 chains x 700-draw chunks
-        # the copy transiently doubled the largest host buffer.
-        stuck = np.zeros((C, k), bool)
-        prev = self._last_pos  # None on the run's first chunk: no
-        for j in range(k):     # predecessor, first draw counts as moved
-            if prev is not None and div[:, j].any():
-                cur = pos[:, j]
-                same = (cur == prev) | (np.isnan(cur) & np.isnan(prev))
-                stuck[:, j] = div[:, j] & same.all(axis=-1)
-            prev = pos[:, j]
-        self._last_pos = pos[:, -1].copy()
         ok = ~stuck
         has_ok = ok.any(axis=1)
         last_ok = np.where(has_ok, k - 1 - np.argmax(ok[:, ::-1], axis=1), -1)

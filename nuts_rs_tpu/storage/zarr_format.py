@@ -235,6 +235,12 @@ class ZarrArray:
         name = ".".join(str(int(i)) for i in chunk_index)
         target = _join(self.path, name)
         if self.writer is not None:
+            if (self.compress and self.codec == "zstd"
+                    and not getattr(self.writer, "supports_zstd", True)):
+                # NO_ZSTD fallback build of the native writer: compress
+                # Python-side, keep the async I/O path.
+                self.writer.write_raw(target, _compress(raw, self.codec))
+                return
             # Compression + I/O happen on the native worker threads.
             self.writer.write(target, raw, 1 if self.compress else -1,
                               codec=self.codec)

@@ -22,8 +22,9 @@ assert jax.devices()[0].platform == "cpu"
 
 # ---- fast/slow test tiers -------------------------------------------------
 # The full suite costs ~30 min on the virtual CPU mesh; the quick lane
-# (`pytest -m "not slow"`) finishes in a few minutes for iteration and CI
-# PR checks, with the full suite run nightly / by the round driver.
+# (`pytest -m "not slow"`) finishes in ~8-10 min on this container (faster
+# with a warm compile cache) for iteration and CI PR checks, with the full
+# suite run nightly / by the round driver.
 # Central list (measured >=10 s each) instead of scattered decorators so the
 # tier assignment is auditable in one place.
 

@@ -332,3 +332,45 @@ def test_progress_tick_validation():
     with pytest.raises(ValueError, match="max_chains_per_launch"):
         nt.Sampler(model, settings, progress_tick=4,
                    max_chains_per_launch=2)
+
+
+def test_draw_dtype_failure_detector_full_precision():
+    """The stuck-chain detector must compare positions in FULL precision
+    when draw_dtype downcasts the stored draws (ADVICE r3: tiny real moves
+    that round to bit-identical f16 values used to read as "stuck" and a
+    healthy chain could be declared permanently failed)."""
+    import time
+
+    import jax.numpy as jnp
+
+    model = gaussian.normal_logp(2, mu=0.0)
+    settings = nt.DiagNutsSettings(num_tune=4, num_draws=4, num_chains=2,
+                                   seed=0)
+    s = nt.Sampler(model, settings, chunk_size=4, draw_dtype=jnp.float16,
+                   fail_after=3)
+    # Synthetic chunk, bypassing the device runner: every draw divergent;
+    # chain 0 makes tiny REAL moves around 2048 (f16 ulp there is 2.0, so
+    # +0.05 steps round to bit-identical f16); chain 1 is frozen.
+    k, C, d = 4, 2, 2
+    pos = np.full((k, C, d), 2048.0)
+    for j in range(k):
+        pos[j, 0] += j * 0.05
+    stats = {
+        "position": jnp.asarray(pos),
+        "diverging": jnp.ones((k, C), bool),
+        "n_steps": jnp.ones((k, C), jnp.int32),
+        "step_size": jnp.full((k, C), 0.1),
+    }
+    s._next_draw = k  # as if the chunk had been launched
+    _, out, _ = s._finish_chunk(0, k, stats, time.monotonic())
+    # stored copy IS bit-identical in f16 (the old comparison's view)...
+    p16 = out["position"][0]  # chain 0, [k, d]
+    assert p16.dtype == np.float16
+    assert (p16[1:] == p16[:-1]).all()
+    # ...but the full-precision device mask sees the moves: chain 0 healthy
+    assert not s.progress[0].failed
+    assert s._div_streak[0] == 0
+    # the genuinely frozen chain is still caught
+    assert s.progress[1].failed
+    # and the detector's cross-chunk anchor stays full precision
+    np.testing.assert_array_equal(s._last_pos[0], pos[-1, 0])

@@ -7,6 +7,8 @@ FINALIZED partial trace riding on the exception — instead of spinning for the
 full draw budget emitting garbage.
 """
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -197,5 +199,4 @@ def test_auto_recover_spills_snapshot_when_device_stays_dead(tmp_path,
     clean = nt.sample(model, settings, chunk_size=10)
     np.testing.assert_array_equal(
         np.asarray(resumed.posterior["position"]),
-        np.asarray(clean.posterior["position"])[:, 10 - settings.num_tune:]
-        if False else np.asarray(clean.posterior["position"]))
+        np.asarray(clean.posterior["position"]))

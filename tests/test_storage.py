@@ -311,3 +311,69 @@ def test_zarr_codec_default_degrades_without_zstandard(tmp_path, monkeypatch):
     assert meta["compressor"]["id"] == "zlib"
     arr = read_array(os.path.join(path, "posterior", "position"))
     assert arr.shape == (2, 5, 2)
+
+
+def test_expand_host_fn_defaulted_second_param_gets_single_arg():
+    """A host expansion fn whose second positional parameter has a DEFAULT
+    (``def f(pos, scale=1.0)``) is a one-argument fn with a user knob — it
+    must NOT silently receive the global first-draw index as ``scale``
+    (ADVICE r3: only a required second parameter opts into the offset
+    form)."""
+    from nuts_rs_tpu.models.model import Model
+    from nuts_rs_tpu.parallel.axis import dsum
+    import jax.numpy as jnp
+
+    seen_scales = []
+
+    def expand_host(pos, scale=1.0):
+        seen_scales.append(scale)
+        return {"scaled": pos[..., 0] * scale}
+
+    model = Model(logp_fn=lambda q: -0.5 * dsum(jnp.square(q)), dim=2,
+                  name="knob", expand_host_fn=expand_host)
+    settings = nt.DiagNutsSettings(num_tune=6, num_draws=6, num_chains=2,
+                                   seed=0)
+    trace = nt.sample(model, settings, chunk_size=4)  # several chunks
+    assert seen_scales and all(s == 1.0 for s in seen_scales)
+    np.testing.assert_allclose(
+        np.asarray(trace.posterior["scaled"]),
+        np.asarray(trace.posterior["position"])[..., 0], rtol=1e-12)
+
+    # ...and a required second positional parameter still opts in.
+    offsets = []
+
+    def expand_off(pos, first_draw):
+        offsets.append(first_draw)
+        return {"c0": pos[..., 0]}
+
+    model2 = Model(logp_fn=lambda q: -0.5 * dsum(jnp.square(q)), dim=2,
+                   name="off", expand_host_fn=expand_off)
+    nt.sample(model2, settings, chunk_size=4)
+    # chunk starts (chunks also split at the warmup/posterior phase
+    # boundary): global draw indices, strictly increasing from 0
+    assert offsets[0] == 0 and len(offsets) >= 2
+    assert all(a < b for a, b in zip(offsets, offsets[1:]))
+
+
+def test_zarr_zstd_async_python_fallback(tmp_path):
+    """NO_ZSTD native-writer builds (hosts without libzstd) keep the async
+    path: zstd chunks are compressed Python-side and written via write_raw
+    (ADVICE r3: the unconditional -lzstd link used to kill the whole native
+    writer, zlib path included)."""
+    pytest.importorskip("zstandard")
+    from nuts_rs_tpu.native import AsyncTraceWriter, native_available
+    from nuts_rs_tpu.storage.zarr_format import ZarrArray
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    w = AsyncTraceWriter(max_queue=8, n_threads=1)
+    w.supports_zstd = False  # what a -DNO_ZSTD build reports
+    path = str(tmp_path / "arr")
+    arr = ZarrArray(path, (4, 4), (4, 4), "f8", writer=w, codec="zstd")
+    data = np.arange(16.0).reshape(4, 4)
+    arr.write_chunk((0, 0), data)
+    w.flush()
+    w.close()
+    meta = json.load(open(os.path.join(path, ".zarray")))
+    assert meta["compressor"]["id"] == "zstd"
+    np.testing.assert_array_equal(read_array(path), data)
