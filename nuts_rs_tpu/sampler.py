@@ -567,6 +567,11 @@ def _schedule_for(settings):
                           settings.adapt)
 
 
+# Stat names stored under the posterior/warmup_posterior groups; everything
+# else lands in sample_stats (matches the storage backends' split).
+_POSTERIOR_STAT_KEYS = ("position",)
+
+
 def _schedule_chunk(sched: AdaptSchedule, lo: int, hi: int) -> Mapping[str, jax.Array]:
     return {
         "is_tuning": jnp.asarray(sched.is_tuning[lo:hi]),
@@ -936,6 +941,19 @@ class Sampler:
         self._snap_last_pos = None
         if self._auto_recover:
             self._take_snapshot()
+
+        # Upfront trace-schema declaration (reference: the Zarr backend
+        # creates every array at trace init, sync_impl.rs:487-521): backends
+        # that opt in get the reflected schema before the first draw, so a
+        # reader attaching mid-run sees the complete hierarchy from draw 0
+        # and a stat that never fires still declares itself.
+        if getattr(self.trace, "wants_schema", False):
+            try:
+                self.trace.declare_schema(self.schema())
+            except Exception as e:
+                warnings.warn(
+                    f"trace schema reflection failed ({e!r}); storage "
+                    "arrays will materialize on first write", RuntimeWarning)
 
     def _materialize_snapshot(self):
         """D2H copy of the device state for auto-recovery — the fault-prone
@@ -1648,6 +1666,137 @@ class Sampler:
 
     # ---- checkpoint / resume (capability absent from the reference;
     # SURVEY.md §5 recommends adding it since device state is one pytree) ----
+
+    # ---- trace schema reflection (reference: Settings reflects every stat
+    # name/type/dims/coords/event-dim BEFORE sampling, src/sampler.rs:73-162)
+
+    _DIV_EVENT_KEYS = ("divergence_start", "divergence_end",
+                       "divergence_start_gradient",
+                       "divergence_start_momentum", "divergence_momentum",
+                       "divergence_energy_error", "divergence_reason")
+    _TRANSFORM_EVENT_KEYS = ("mass_matrix_inv", "transformation_mu",
+                             "mass_matrix_eigvals", "num_eigenvalues")
+
+    def schema(self):
+        """The full trace schema, reflected WITHOUT running any device
+        computation (``jax.eval_shape`` on each phase runner — the
+        TPU-idiomatic analog of the reference's Settings-level reflection,
+        src/sampler.rs:73-162).
+
+        Returns ``{group: {name: {"dtype": np.dtype, "shape": tail_shape,
+        "dims": [...]}}}`` for the four draw groups, plus ``"coords"``
+        (model coordinate arrays) and ``"events"`` (sparse event streams:
+        ``{event_name: {field: {...}}}``; reference nuts-storable event
+        dims, src/lib.rs:101-118).  Reflects exactly what will be STORED:
+        the ``keep_stats`` / ``draw_dtype`` transfer knobs are applied, and
+        host/device expansions are included (host expansion is probed with
+        a zero-position call; see Model.expand_host_fn)."""
+        from .storage.core import dims_for_tail
+
+        num_tune = self.settings.num_tune
+        C = self.settings.num_chains
+        warm, post = {}, {}
+        for start, end, runner in self._phase_runners:
+            probe = min(start, self._total - 1)
+            flags = self.settings.extra_flags(
+                _schedule_chunk(self.schedule, probe, probe + 1),
+                probe, probe + 1)
+            _, stats_shape = jax.eval_shape(runner, self.state, flags)
+            for name, s in stats_shape.items():
+                entry = {"dtype": np.dtype(s.dtype),
+                         "shape": tuple(s.shape[2:])}
+                if start < num_tune:
+                    warm.setdefault(name, entry)
+                if end > num_tune:
+                    post.setdefault(name, entry)
+        if self._stats_keep is not None:
+            warm = {k: v for k, v in warm.items() if k in self._stats_keep}
+            post = {k: v for k, v in post.items() if k in self._stats_keep}
+        if self.draw_dtype is not None:
+            for d in (warm, post):
+                if "position" in d:
+                    d["position"] = dict(d["position"],
+                                         dtype=np.dtype(self.draw_dtype))
+
+        expanded = {}
+        if self._expand_chunk is not None:
+            keys = jax.eval_shape(
+                lambda k: jax.random.split(k, (C, 1)), self._expand_key)
+            pos_sd = jax.ShapeDtypeStruct(
+                (C, 1, self.model.dim), self.dtype)
+            exp = jax.eval_shape(self._expand_chunk, keys, pos_sd)
+            expanded.update({
+                name: {"dtype": np.dtype(s.dtype),
+                       "shape": tuple(s.shape[2:])}
+                for name, s in exp.items()})
+        if self.model.expand_host_fn is not None:
+            # Host expansion has no declared schema (arbitrary numpy
+            # dtypes); probe it with one zero position.  A fn that cannot
+            # handle that is simply not reflected — its arrays materialize
+            # on first write as before.
+            try:
+                zero = np.zeros(
+                    (C, 1, self.model.dim),
+                    np.dtype(self.draw_dtype) if self.draw_dtype is not None
+                    else np.dtype(self.dtype))
+                out = (self.model.expand_host_fn(zero, 0)
+                       if self._expand_host_wants_offset
+                       else self.model.expand_host_fn(zero))
+                for name, v in out.items():
+                    v = np.asarray(v)
+                    expanded.setdefault(
+                        name, {"dtype": v.dtype, "shape": tuple(v.shape[2:])})
+            except Exception:
+                pass
+
+        def group(entries):
+            return {name: dict(e, dims=dims_for_tail(
+                        self.model, name, e["shape"]))
+                    for name, e in entries.items()}
+
+        post_names = {k: v for k, v in post.items()
+                      if k in _POSTERIOR_STAT_KEYS}
+        warm_names = {k: v for k, v in warm.items()
+                      if k in _POSTERIOR_STAT_KEYS}
+        out = {
+            "posterior": group({**post_names, **expanded}),
+            "sample_stats": group({k: v for k, v in post.items()
+                                   if k not in _POSTERIOR_STAT_KEYS}),
+            "warmup_posterior": group({**warm_names, **expanded}),
+            "warmup_sample_stats": group({k: v for k, v in warm.items()
+                                          if k not in _POSTERIOR_STAT_KEYS}),
+            "coords": dict(getattr(self.model, "coords", None) or {}),
+        }
+
+        # Sparse event streams (storage array names are
+        # f"{event}_{field}"): reflected from the stat keys present.
+        events = {}
+        every = {**warm, **post}
+
+        def ev_field(e):
+            dt = (e["dtype"] if e["dtype"].kind == "f"
+                  else np.dtype(np.int64))
+            dims = ["unconstrained_parameter"] if e["shape"] else []
+            return {"dtype": dt, "shape": e["shape"], "dims": dims}
+
+        if "diverging" in every:
+            ev = {"draw": {"dtype": np.dtype(np.int64), "shape": (),
+                           "dims": []}}
+            for key in self._DIV_EVENT_KEYS:
+                if key in every:
+                    ev[key] = ev_field(every[key])
+            events["divergence"] = ev
+        if "transformation_index" in every:
+            ev = {"draw": {"dtype": np.dtype(np.int64), "shape": (),
+                           "dims": []},
+                  "transformation_update_id": {"dtype": np.dtype(np.int64),
+                                               "shape": (), "dims": []}}
+            for key in self._TRANSFORM_EVENT_KEYS:
+                if key in every:
+                    ev[key] = ev_field(every[key])
+            events["transformation_update"] = ev
+        out["events"] = events
+        return out
 
     def checkpoint(self, path: str) -> None:
         """Save the full device state; a Sampler built with the same

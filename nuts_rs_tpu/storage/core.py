@@ -20,8 +20,37 @@ from typing import Any, Mapping
 import numpy as np
 
 
+def dims_for_tail(model, name, tail_shape):
+    """xarray dimension names for a stat's trailing axes (after
+    [chain, draw]): the model's declared dims win, a tail matching the
+    parameter count is ``unconstrained_parameter`` (reference StatsDims,
+    src/sampler_stats.rs:10-42), anything else gets positional names."""
+    model_dims = dict(getattr(model, "dims", None) or {})
+    if name in model_dims:
+        return list(model_dims[name])
+    tail_shape = tuple(tail_shape)
+    if not tail_shape:
+        return []
+    if tail_shape == (getattr(model, "dim", -1),):
+        return ["unconstrained_parameter"]
+    return [f"{name}_dim_{i}" for i in range(len(tail_shape))]
+
+
 class TraceStorage(abc.ABC):
     """Progressive multi-chain trace writer."""
+
+    # Backends that create their full array hierarchy upfront from the
+    # reflected schema (reference: Settings reflects every stat
+    # name/type/dims BEFORE sampling, src/sampler.rs:73-162, and the Zarr
+    # backend creates all arrays at trace init, sync_impl.rs:487-521) set
+    # this True; the sampler then calls declare_schema before the first
+    # chunk.  Reflection costs one abstract trace per phase runner, so
+    # backends that don't need it (in-memory dicts) leave it off.
+    wants_schema = False
+
+    def declare_schema(self, schema) -> None:
+        """Create storage for every name in ``schema`` upfront (see
+        ``Sampler.schema`` for the layout).  Default: no-op."""
 
     @abc.abstractmethod
     def record_chunk(

@@ -51,13 +51,15 @@ class _GroupBuffer:
         self.written = 0   # draws fully written to chunk files
         self.buffered = 0  # draws in the pending buffers
 
-    def _ensure_array(self, name, sample: np.ndarray, dims_tail):
+    def declare(self, name, dtype, tail_shape, dims_tail):
+        """Create the array upfront from reflected metadata (reference
+        creates all arrays at trace init, sync_impl.rs:487-521)."""
         if name in self.arrays:
             return
-        tail_shape = sample.shape[2:]
-        dtype = sample.dtype
+        dtype = np.dtype(dtype)
         if dtype == np.int32:
             dtype = np.dtype(np.int64)
+        tail_shape = tuple(tail_shape)
         self.arrays[name] = self.group.array(
             name,
             shape=(self.num_chains, self.total) + tail_shape,
@@ -68,6 +70,11 @@ class _GroupBuffer:
             codec=self.codec,
         )
         self.pending[name] = []
+
+    def _ensure_array(self, name, sample: np.ndarray, dims_tail):
+        # Fallback for names outside the declared schema (e.g. a host
+        # expansion the reflection probe could not call).
+        self.declare(name, sample.dtype, sample.shape[2:], dims_tail)
 
     def append(self, name, data: np.ndarray, dims_tail=()):
         """data: [chains, k, ...]"""
@@ -84,10 +91,10 @@ class _GroupBuffer:
             self._flush_one_chunk()
 
     def _pending_rows(self):
-        if not self.pending:
-            return 0
-        lists = next(iter(self.pending.values()))
-        return sum(a.shape[1] for a in lists)
+        # max over names: a declared array the runner never feeds (schema
+        # reflected from a pre-fallback engine) must not wedge the flush.
+        return max((sum(a.shape[1] for a in lists)
+                    for lists in self.pending.values()), default=0)
 
     def _flush_one_chunk(self):
         chunk_idx = self.written // self.chunk_draws
@@ -98,6 +105,8 @@ class _GroupBuffer:
                    self.total - self.written,
                    self._pending_rows())
         for name, lists in self.pending.items():
+            if not lists:  # declared upfront, never written: stays fill-value
+                continue
             cat = np.concatenate(lists, axis=1) if len(lists) > 1 else lists[0]
             block, rest = cat[:, :take], cat[:, take:]
             for c in range(self.num_chains):
@@ -183,16 +192,45 @@ class ZarrStorage(TraceStorage):
                 ZarrGroup(zarr_join(self.path, key)).write_full_array(
                     name, arr, dims=[name])
 
+    wants_schema = True  # ask the sampler for upfront reflection
+
+    def declare_schema(self, schema):
+        """Create the COMPLETE array hierarchy before the first draw
+        (reference: schema reflection src/sampler.rs:73-162 + upfront array
+        creation src/storage/zarr/sync_impl.rs:487-521).  A reader attaching
+        mid-run (``inspect``) sees every array from draw 0; stats that never
+        fire still declare themselves; sparse event arrays start at event
+        count 0 and are resized at finalize (sync_impl.rs:662-685)."""
+        group_of = {
+            "posterior": self.groups[("posterior", False)],
+            "sample_stats": self.groups[("sample_stats", False)],
+            "warmup_posterior": self.groups[("posterior", True)],
+            "warmup_sample_stats": self.groups[("sample_stats", True)],
+        }
+        for gname, buf in group_of.items():
+            for name, e in (schema.get(gname) or {}).items():
+                buf.declare(name, e["dtype"], e["shape"],
+                            e.get("dims") or [])
+        stats_group = ZarrGroup(zarr_join(self.path, "sample_stats"))
+        for ev_name, fields in (schema.get("events") or {}).items():
+            for key, e in fields.items():
+                dt = np.dtype(e["dtype"])
+                if dt == np.int32:
+                    dt = np.dtype(np.int64)
+                # Event-count 0 placeholder; finalize resizes/rewrites with
+                # the real events (or leaves it empty when none fired).
+                stats_group.array(
+                    f"{ev_name}_{key}",
+                    shape=(self.num_chains, 0) + tuple(e["shape"]),
+                    chunks=(1, 1) + tuple(e["shape"]),
+                    dtype=dt,
+                    dims=["chain", ev_name] + (e.get("dims") or []),
+                    compress=False)
+
     def _dims_for(self, name, sample):
-        model_dims = dict(getattr(self.model, "dims", None) or {})
-        if name in model_dims:
-            return list(model_dims[name])
-        tail = sample.ndim - 2
-        if tail == 0:
-            return []
-        if sample.shape[2:] == (getattr(self.model, "dim", -1),):
-            return ["unconstrained_parameter"]
-        return [f"{name}_dim_{i}" for i in range(tail)]
+        from .core import dims_for_tail
+
+        return dims_for_tail(self.model, name, sample.shape[2:])
 
     def record_chunk(self, start_draw, stats, expanded, tuning):
         tuning = np.asarray(tuning)

@@ -377,3 +377,68 @@ def test_zarr_zstd_async_python_fallback(tmp_path):
     meta = json.load(open(os.path.join(path, ".zarray")))
     assert meta["compressor"]["id"] == "zstd"
     np.testing.assert_array_equal(read_array(path), data)
+
+
+def test_zarr_schema_declared_before_first_chunk(tmp_path):
+    """Upfront trace-schema reflection (reference: Settings reflects every
+    stat name/type/dims BEFORE sampling, src/sampler.rs:73-162, and the Zarr
+    backend creates all arrays at trace init, sync_impl.rs:487-521): the
+    complete hierarchy must exist on disk BEFORE any draw is recorded, so a
+    reader attaching mid-run sees a stable schema and stats that never fire
+    still declare themselves."""
+    model = gaussian.normal_logp(3, mu=0.0)
+    settings = nt.DiagNutsSettings(num_tune=20, num_draws=20, num_chains=2,
+                                   seed=0, store_divergences=True)
+    path = str(tmp_path / "pre.zarr")
+    sampler = nt.Sampler(model, settings, chunk_size=10,
+                         storage=ZarrConfig(path, chunk_draws=10))
+    # NOT a single draw taken yet: the full hierarchy is already on disk.
+    sch = sampler.schema()
+    assert sch["sample_stats"], "schema reflection returned nothing"
+    for gname in ("posterior", "sample_stats", "warmup_posterior",
+                  "warmup_sample_stats"):
+        for name in sch[gname]:
+            adir = os.path.join(path, gname, name)
+            assert os.path.exists(os.path.join(adir, ".zarray")), \
+                f"{gname}/{name} not declared upfront"
+            meta = json.load(open(os.path.join(adir, ".zarray")))
+            # full draw-axis extent declared upfront
+            want = settings.num_tune if gname.startswith("warmup") \
+                else settings.num_draws
+            assert meta["shape"][:2] == [2, want]
+    # core stats + position are in the reflected schema
+    assert "position" in sch["posterior"]
+    assert {"diverging", "n_steps", "step_size"} <= set(sch["sample_stats"])
+    assert sch["posterior"]["position"]["dims"] == ["unconstrained_parameter"]
+    # store_divergences=True declares the forensic event arrays upfront too
+    assert "divergence" in sch["events"]
+    assert "divergence_momentum" in sch["events"]["divergence"]
+    ev_meta = json.load(open(os.path.join(
+        path, "sample_stats", "divergence_divergence_momentum", ".zarray")))
+    assert ev_meta["shape"][0] == 2 and ev_meta["shape"][1] == 0
+
+    # an inspect() BEFORE any chunk shows the full (empty) schema
+    snap = sampler.inspect()
+    assert set(snap["sample_stats"]) == set(sch["sample_stats"])
+    assert snap["posterior"]["position"].shape == (2, 0, 3)
+
+    # ...and the run completes against the pre-created arrays
+    sampler.run()
+    arr = read_array(os.path.join(path, "posterior", "position"))
+    assert arr.shape == (2, 20, 3) and np.isfinite(arr).all()
+
+
+def test_schema_reflects_transfer_knobs():
+    """Sampler.schema() reflects what is STORED: keep_stats filtering and
+    the draw_dtype downcast."""
+    import jax.numpy as jnp
+
+    model = gaussian.normal_logp(3, mu=0.0)
+    settings = nt.DiagNutsSettings(num_tune=10, num_draws=10, num_chains=2,
+                                   seed=0)
+    s = nt.Sampler(model, settings, chunk_size=10, keep_stats=("logp",),
+                   draw_dtype=jnp.float16)
+    sch = s.schema()
+    assert sch["posterior"]["position"]["dtype"] == np.float16
+    assert "logp" in sch["sample_stats"]
+    assert "energy" not in sch["sample_stats"]
