@@ -93,14 +93,16 @@ def switch(s: DiagAdaptState) -> DiagAdaptState:
 
 
 def adapt_diag(s: DiagAdaptState, transform: AffineTransform,
-               use_grad_based_estimate: bool = True) -> AffineTransform:
+               use_grad_based_estimate: bool = True,
+               update_mask=True) -> AffineTransform:
     """Recompute the diagonal transform from the foreground estimators.
 
     (``diagonal.rs:161-196`` + ``DiagMassMatrix::update_diag_draw_grad``,
     transform/diagonal.rs:107-131.)  Per-chain gating: chains with fewer than
-    3 good samples keep their previous transform.
+    3 good samples keep their previous transform; ``update_mask`` adds the
+    good-draw window mode's per-chain update decision on top.
     """
-    enough = s.draw.count >= 3.0
+    enough = (s.draw.count >= 3.0) & update_mask
 
     if use_grad_based_estimate:
         # sigma^2 = sqrt(var_draw / var_grad); scale factors cancel.

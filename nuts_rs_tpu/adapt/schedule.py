@@ -9,10 +9,18 @@ refits, the step-size re-init search) then gate on *scalar* flags — real
 ``lax.cond`` branches on device, no vmap->select blowup across chains.
 
 TPU-first deviation (documented): the reference advances windows by the count
-of *good* (non-divergent) draws per chain; we advance by draw index, assuming
-all draws are good.  Per-chain masks still control which samples enter the
-estimators, so only the switch *timing* differs, and only for chains that
-diverge during warmup.
+of *good* (non-divergent) draws per chain; by default we advance by draw
+index, assuming all draws are good.  Per-chain masks still control which
+samples enter the estimators, so only the switch *timing* differs, and only
+for chains that diverge during warmup.
+
+Reference-semantics mode: ``AdaptScheduleOptions.window_by_good_draws=True``
+moves the switch/update decisions onto the device, driven by each chain's own
+good-draw counters (the estimator counts, which only grow on good draws) —
+exactly ``GlobalStrategy::adapt`` (src/adapt_strategy.rs:121-216) per chain.
+The static draw-index quantities it needs are packaged as :class:`WindowParams`
+and the per-chain counters live in ``chain.WindowState``.  With zero
+divergences the two modes take identical decisions on every draw.
 """
 
 from __future__ import annotations
@@ -33,6 +41,43 @@ class AdaptScheduleOptions:
     early_mass_matrix_switch_freq: int = 10
     mass_matrix_update_freq: int = 1
     mass_matrix_window_growth: float = 1.5
+    # Reference-semantics warmup: advance fg/bg windows by each chain's own
+    # count of good (non-divergent) draws, computed on device, instead of the
+    # host-precomputed draw-index schedule (src/adapt_strategy.rs:121-216).
+    window_by_good_draws: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowParams:
+    """Static draw-index quantities for the on-device window logic.
+
+    These are the pieces of ``GlobalStrategy::adapt`` that depend only on the
+    draw index and options, precomputed host-side; the per-chain counters
+    (background count, current window size, last update, has-initial flag)
+    live on device in ``chain.WindowState``.
+    """
+
+    early_end: int                 # early_window * num_tune
+    final_step_size_window: int    # num_tune - step_size_window * num_tune
+    num_tune: int
+    early_switch_freq: int         # early_mass_matrix_switch_freq
+    init_window: int               # mass_matrix_switch_freq
+    update_freq: int               # mass_matrix_update_freq
+    growth: float                  # mass_matrix_window_growth
+
+
+def build_window_params(num_tune: int,
+                        opts: AdaptScheduleOptions) -> WindowParams:
+    return WindowParams(
+        early_end=int(opts.early_window * num_tune),
+        final_step_size_window=(
+            num_tune - int(opts.step_size_window * num_tune)),
+        num_tune=num_tune,
+        early_switch_freq=opts.early_mass_matrix_switch_freq,
+        init_window=opts.mass_matrix_switch_freq,
+        update_freq=opts.mass_matrix_update_freq,
+        growth=opts.mass_matrix_window_growth,
+    )
 
 
 class AdaptSchedule(NamedTuple):

@@ -22,7 +22,7 @@ import numpy as np
 
 from .adapt import mass_matrix as mm
 from .adapt import step_size as ss
-from .adapt.schedule import AdaptSchedule
+from .adapt.schedule import AdaptSchedule, WindowParams
 from .dynamics.hamiltonian import KineticKind, init_point_from_q
 from .dynamics.point import Point
 from .kernels.nuts import NutsOptions, nuts_draw
@@ -43,6 +43,25 @@ class ChainState(NamedTuple):
     keys: jax.Array                # [C] per-chain PRNG keys
     draw_idx: jax.Array            # [] global draw counter
     extra: Any = None              # strategy-specific extra state (low-rank window, ...)
+    window: Any = None             # WindowState when window_by_good_draws
+
+
+class WindowState(NamedTuple):
+    """Per-chain ``GlobalStrategy`` counters for the good-draw window mode
+    (nuts-rs ``src/adapt_strategy.rs:71-98``); the good-draw counts themselves
+    are the estimator counts in ``DiagAdaptState``."""
+
+    current_window: jax.Array  # [C] float current_window_size
+    last_update: jax.Array     # [C] i32 draw index of the last mass update
+    has_initial: jax.Array     # [C] bool has_initial_mass_matrix
+
+
+def _select_chains(mask, a, b):
+    """Per-chain tree select: ``mask`` is [C]; leaves have leading axis C."""
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+    return jax.tree.map(sel, a, b)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +76,9 @@ class ChainConfig:
     # chain shares one step size driven by C-times more information.
     cross_chain_step_size: bool = False
     axis_name: Optional[str] = None
+    # Non-None switches the warmup to per-chain good-draw window advancement
+    # (reference semantics, adapt_strategy.rs:121-216); diag strategy only.
+    window_params: Optional[WindowParams] = None
     store_gradient: bool = False
     store_unconstrained: bool = False
     store_transformed: bool = False
@@ -110,6 +132,16 @@ class DiagStrategy:
 
     def switch(self, state: ChainState) -> ChainState:
         return state._replace(diag_adapt=jax.vmap(mm.switch)(state.diag_adapt))
+
+    def adapt_update_masked(self, state: ChainState, mask) -> ChainState:
+        """Per-chain gated mass-matrix update for the good-draw window mode:
+        chains where ``mask`` is False keep their transform untouched."""
+        ugb = self.config.use_grad_based_estimate
+        transform = jax.vmap(
+            lambda s, t, m: mm.adapt_diag(s, t, use_grad_based_estimate=ugb,
+                                          update_mask=m)
+        )(state.diag_adapt, state.transform, mask)
+        return state._replace(transform=transform)
 
     def adapt_update(self, state: ChainState) -> ChainState:
         adapt = state.diag_adapt
@@ -181,15 +213,65 @@ def make_draw_step(model, strategy, config: ChainConfig):
             update = lambda s: strategy.update_estimators(
                 s, draw_pt.q, draw_pt.g, info.is_good_for_adapt,
                 logp=draw_pt.logp, energy_error=info.energy_error)
-        state = jax.lax.cond(flags["update_estimators"], update,
-                             lambda s: s, state)
-        state = jax.lax.cond(flags["do_switch"], strategy.switch,
-                             lambda s: s, state)
-        state = jax.lax.cond(flags["do_update"], strategy.adapt_update,
-                             lambda s: s, state)
+        reinit_mask = None
+        if config.window_params is None:
+            state = jax.lax.cond(flags["update_estimators"], update,
+                                 lambda s: s, state)
+            state = jax.lax.cond(flags["do_switch"], strategy.switch,
+                                 lambda s: s, state)
+            state = jax.lax.cond(flags["do_update"], strategy.adapt_update,
+                                 lambda s: s, state)
+            use_late = flags["use_late_estimator"]
+        else:
+            # --- good-draw window mode: per-chain GlobalStrategy::adapt
+            # (adapt_strategy.rs:121-216) on device.  bg/fg good-draw counts
+            # ARE the estimator counts; the other per-chain counters live in
+            # state.window.  With zero divergences this takes the same
+            # decisions as the precomputed schedule on every draw.
+            wp = config.window_params
+            draw = state.draw_idx
+            w = state.window
+            in_win = flags["is_tuning"] & (draw < wp.final_step_size_window)
+            is_early = draw < wp.early_end
+            # Early->main transition: never shrink below the accumulated
+            # background count (adapt_strategy.rs:144-150) — seeded from the
+            # count BEFORE this draw's estimator update, like the reference.
+            cw = jnp.where(draw == wp.early_end,
+                           jnp.maximum(w.current_window,
+                                       state.diag_adapt.draw_bg.count),
+                           w.current_window)
+            state = jax.lax.cond(in_win, update, lambda s: s, state)
+            da = state.diag_adapt
+            cdt = da.draw_bg.count.dtype
+            bg_count = da.draw_bg.count
+            early_freq = jnp.asarray(wp.early_switch_freq, cdt)
+            switch_freq = jnp.where(is_early, early_freq, cw)
+            could_switch = bg_count >= switch_freq
+            # round-half-away-from-zero like Rust's f64::round.
+            next_window = jnp.where(
+                is_early, early_freq,
+                jnp.maximum(cw + 1.0, jnp.floor(cw * wp.growth + 0.5)))
+            is_late = ((next_window + draw.astype(cdt))
+                       > wp.final_step_size_window)
+            switch_mask = could_switch & (~is_late) & in_win
+            da = _select_chains(switch_mask, jax.vmap(mm.switch)(da), da)
+            cw = jnp.where(switch_mask & (~is_early), next_window, cw)
+            state = state._replace(diag_adapt=da)
+            update_mask = (switch_mask
+                           | ((draw - w.last_update) >= wp.update_freq))
+            update_mask = update_mask & in_win
+            enough = da.draw.count >= 3.0
+            state = strategy.adapt_update_masked(state, update_mask)
+            did_change = update_mask & enough
+            state = state._replace(window=WindowState(
+                current_window=cw,
+                last_update=jnp.where(did_change, draw, w.last_update),
+                has_initial=w.has_initial & (~did_change)))
+            reinit_mask = did_change & w.has_initial
+            use_late = is_late | (~in_win)
 
         # --- dual averaging advance (early: plain mean; late: symmetric) ---
-        accept_stat = jnp.where(flags["use_late_estimator"], sym_acc, mean_acc)
+        accept_stat = jnp.where(use_late, sym_acc, mean_acc)
         if config.cross_chain_step_size:
             pooled = jnp.mean(accept_stat)
             if config.axis_name is not None:
@@ -218,8 +300,21 @@ def make_draw_step(model, strategy, config: ChainConfig):
                 in_axes=(0, 0, None),
             )(k_jitter, stp, flags["use_best_guess"])
 
-        step_state = jax.lax.cond(flags["reinit_step_size"], with_reinit,
-                                  without_reinit, step_state)
+        if reinit_mask is None:
+            step_state = jax.lax.cond(flags["reinit_step_size"], with_reinit,
+                                      without_reinit, step_state)
+        else:
+            # Per-chain first-mass-matrix-change: chains whose mask is set
+            # get the init search (reset overwrites their DA state, so the
+            # reference's skip-update_stepsize-on-this-draw is implicit);
+            # the cond skips the search entirely on draws where no chain
+            # reinits.
+            def mixed(stp):
+                return _select_chains(reinit_mask, with_reinit(stp),
+                                      without_reinit(stp))
+
+            step_state = jax.lax.cond(jnp.any(reinit_mask), mixed,
+                                      without_reinit, step_state)
         state = state._replace(step=step_state,
                                draw_idx=state.draw_idx + 1)
 
@@ -346,6 +441,12 @@ def init_chain_state(
         keys=chain_keys,
         draw_idx=jnp.zeros((), jnp.int32),
         extra=strategy.init_extra(dim, num_tune, dtype, num_chains),
+        window=(None if config.window_params is None else WindowState(
+            current_window=jnp.full((num_chains,),
+                                    config.window_params.init_window, dtype),
+            last_update=jnp.zeros((num_chains,), jnp.int32),
+            has_initial=jnp.ones((num_chains,), bool),
+        )),
     )
 
     # Mass-matrix init from the first gradient, then the step-size search.

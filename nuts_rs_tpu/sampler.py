@@ -108,6 +108,25 @@ class NutsSettings:
         )
 
     def chain_config(self) -> ChainConfig:
+        window_params = None
+        if self.adapt.window_by_good_draws:
+            # Reference-semantics warmup (adapt_strategy.rs:121-216): the
+            # per-chain window counters are wired through the diag strategy's
+            # estimator counts; pooled (cross-chain) estimators and the other
+            # mass-matrix strategies keep the draw-index schedule.
+            if self.mass_matrix != "diag":
+                raise ValueError(
+                    "adapt.window_by_good_draws=True requires "
+                    f"mass_matrix='diag' (got {self.mass_matrix!r}); "
+                    "low-rank/flow refits run on the draw-index schedule")
+            if self.cross_chain_adaptation:
+                raise ValueError(
+                    "adapt.window_by_good_draws=True is incompatible with "
+                    "cross_chain_adaptation=True: pooled estimators share "
+                    "one window across chains by construction")
+            from .adapt.schedule import build_window_params
+
+            window_params = build_window_params(self.num_tune, self.adapt)
         return ChainConfig(
             nuts=self.nuts_options(),
             step_size=self.step_size,
@@ -121,6 +140,7 @@ class NutsSettings:
                                     and self.low_rank.store_mass_matrix),
             cross_chain_step_size=self.cross_chain_adaptation,
             axis_name=self.mesh_axis_name,
+            window_params=window_params,
         )
 
     @property
@@ -230,6 +250,7 @@ class NutsSettings:
             return [(0, total, sync)]
         if (kind == "pallas"
                 and self.mass_matrix == "diag"
+                and not self.adapt.window_by_good_draws
                 and self.step_size.method is StepSizeMethod.DUAL_AVERAGE):
             # Fused warmup (kernels/nuts_pallas.py warmup section): whole
             # chunks of tuning draws per pallas_call with in-kernel
@@ -321,6 +342,10 @@ class MclmcSettings:
     def chain_config(self) -> ChainConfig:
         from .kernels.nuts import NutsOptions
 
+        if self.adapt.window_by_good_draws:
+            raise ValueError(
+                "adapt.window_by_good_draws is a NUTS warmup option; the "
+                "MCLMC driver runs the draw-index schedule")
         return ChainConfig(
             nuts=NutsOptions(max_energy_error=self.max_energy_error),
             step_size=self.step_size_settings,
@@ -587,6 +612,22 @@ def _schedule_chunk(sched: AdaptSchedule, lo: int, hi: int) -> Mapping[str, jax.
 
 def _scan_chunk(step, state, flags):
     return jax.lax.scan(step, state, flags)
+
+
+# Cross-instance jitted-runner reuse.  jax.jit caches per WRAPPER object, so
+# a fresh Sampler used to re-trace + re-lower + re-load every phase runner on
+# its first chunk (~10 s/runner for the fused engine on a tunneled TPU;
+# measured trace 5.1 s + lower 1.9 s + executable load 3.6 s) even though the
+# persistent compile cache already held the binary.  Runners are pure
+# functions of (model, settings, matmul precision), so identical requests
+# share one wrapper and hit jax's C++ fast path.  Keyed by id(model): the
+# cached runners close over model.logp_and_grad and therefore PIN the model,
+# so an id can never be recycled while its entry lives — aliasing is
+# impossible by construction, and the LRU cap is the memory bound (entries
+# hold compiled executables and the models they close over).
+_RUNNER_CACHE: "dict[tuple, list]" = {}
+_RUNNER_CACHE_ORDER: "list[tuple]" = []
+_RUNNER_CACHE_MAX = 8
 
 
 def _scan_chunk_ticked(step, tick, every, num_chains, state, flags):
@@ -1089,6 +1130,14 @@ class Sampler:
         settings, model, mesh = self.settings, self.model, self.mesh
         precision = self._precision
 
+        reuse_key = self._runner_reuse_key()
+        if reuse_key is not None and reuse_key in _RUNNER_CACHE:
+            self._phase_runners = _RUNNER_CACHE[reuse_key]
+            self._probe_runners = []
+            _RUNNER_CACHE_ORDER.remove(reuse_key)
+            _RUNNER_CACHE_ORDER.append(reuse_key)
+            return
+
         # Phases: draw-index ranges with their own compiled runner (MCLMC's
         # Euclidean -> Microcanonical switch and the async posterior kernel
         # are host-known boundaries).  Runners trace under the configured
@@ -1184,6 +1233,27 @@ class Sampler:
                          if i < len(self._probe_runners) else None)
                 jitted[id(runner)] = jit_prec(wrap_mesh(r, probe))
             self._phase_runners.append((start, end, jitted[id(runner)]))
+
+        if reuse_key is not None:
+            _RUNNER_CACHE[reuse_key] = self._phase_runners
+            _RUNNER_CACHE_ORDER.append(reuse_key)
+            while len(_RUNNER_CACHE_ORDER) > _RUNNER_CACHE_MAX:
+                old = _RUNNER_CACHE_ORDER.pop(0)
+                _RUNNER_CACHE.pop(old, None)
+
+    def _runner_reuse_key(self):
+        """Cache key for cross-instance runner reuse, or None when the
+        runners close over per-sampler state (mesh specs, tick callbacks) or
+        the settings aren't safely hashable (user flow_spec objects)."""
+        if self.mesh is not None or self.progress_tick is not None:
+            return None
+        if getattr(self.settings, "flow_spec", None) is not None:
+            return None
+        try:
+            hash(self.settings)
+        except TypeError:
+            return None
+        return (id(self.model), self.settings, self._precision)
 
     def _try_engine_fallback(self, err: Exception) -> bool:
         """After a fused-engine (Pallas) failure, rebuild the runners on the

@@ -374,3 +374,55 @@ def test_draw_dtype_failure_detector_full_precision():
     assert s.progress[1].failed
     # and the detector's cross-chunk anchor stays full precision
     np.testing.assert_array_equal(s._last_pos[0], pos[-1, 0])
+
+
+def test_runner_reuse_across_samplers():
+    """A second Sampler with identical (model, settings, precision) must
+    reuse the first one's jitted phase runners: jax.jit caches per wrapper
+    object, and rebuilding wrappers re-traced + re-loaded every runner on
+    each fresh Sampler (~10 s/runner on a tunneled TPU — the round-4
+    end-to-end gap decomposition)."""
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+
+    model = g.normal_logp(4, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=40, num_draws=40, num_chains=2,
+                                   seed=11)
+    s1 = nt.Sampler(model, settings)
+    s2 = nt.Sampler(model, settings)
+    assert [id(r) for _, _, r in s1._phase_runners] == \
+        [id(r) for _, _, r in s2._phase_runners]
+    # different settings -> different runners
+    s3 = nt.Sampler(model, nt.DiagNutsSettings(
+        num_tune=40, num_draws=40, num_chains=2, seed=12))
+    assert [id(r) for _, _, r in s3._phase_runners] != \
+        [id(r) for _, _, r in s1._phase_runners]
+    # a different model with EQUAL settings -> different runners
+    model2 = g.normal_logp(4, mu=1.0)
+    s4 = nt.Sampler(model2, settings)
+    assert [id(r) for _, _, r in s4._phase_runners] != \
+        [id(r) for _, _, r in s1._phase_runners]
+    # reused runners still produce correct, reproducible results
+    t1 = s2.run()
+    t2 = nt.sample(model, settings)
+    np.testing.assert_array_equal(t1.posterior["position"],
+                                  t2.posterior["position"])
+
+
+def test_runner_reuse_lru_cap_and_pinning():
+    """The cache is LRU-capped (entries hold executables AND pin their
+    models via the runner closures — which is what makes id(model) keys
+    alias-proof), so old entries must fall out."""
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+    from nuts_rs_tpu.sampler import _RUNNER_CACHE, _RUNNER_CACHE_MAX
+
+    settings = nt.DiagNutsSettings(num_tune=20, num_draws=20, num_chains=2)
+    model0 = g.normal_logp(3)
+    nt.Sampler(model0, settings)
+    assert any(k[0] == id(model0) for k in _RUNNER_CACHE)
+    models = [g.normal_logp(3) for _ in range(_RUNNER_CACHE_MAX)]
+    for m in models:
+        nt.Sampler(m, settings)
+    assert len(_RUNNER_CACHE) <= _RUNNER_CACHE_MAX
+    assert not any(k[0] == id(model0) for k in _RUNNER_CACHE)
