@@ -918,6 +918,23 @@ class Sampler:
         # Each chunk runs ceil(C / max_chains_per_launch) sequential device
         # launches over chain groups; per-chain RNG/state make the split
         # bit-transparent for independent-chain settings.
+        # "auto": resolve the largest non-faulting launch size by probing a
+        # 2-draw chunk at full batch before the first real launch, halving on
+        # device fault (the libtpu kernel-fault class is shape-triggered:
+        # SV at >=64 chains / config 4 at >=512 chains crash the worker, see
+        # BASELINE.md — users shouldn't have to discover that in production
+        # and then guess a divisor).
+        self._auto_launch_probe = max_chains_per_launch == "auto"
+        if self._auto_launch_probe:
+            max_chains_per_launch = None
+            if mesh is not None:
+                raise ValueError(
+                    'max_chains_per_launch="auto" is incompatible with mesh '
+                    "execution (shard the chain axis instead)")
+            if progress_tick is not None:
+                raise ValueError(
+                    'max_chains_per_launch="auto" may resolve to split '
+                    "launches, which progress_tick does not support")
         if max_chains_per_launch is not None:
             if mesh is not None:
                 raise ValueError(
@@ -1044,6 +1061,93 @@ class Sampler:
     _RECOVERABLE_TOKENS = ("UNAVAILABLE", "crashed or restarted",
                            "RESOURCE_EXHAUSTED", "DATA_LOSS", "kernel fault")
 
+    @staticmethod
+    def _wait_device_alive(attempts: int = 6) -> bool:
+        """Probe the device with exponential backoff (a restarting worker
+        raises UNAVAILABLE on requests issued immediately after a crash —
+        measured on live v5e)."""
+        delay = 5.0
+        for _ in range(attempts):
+            try:
+                jax.block_until_ready(jnp.zeros(8) + 1.0)
+                return True
+            except Exception:
+                time.sleep(delay)
+                delay = min(delay * 2, 60.0)
+        return False
+
+    def _resolve_launch_size(self) -> None:
+        """``max_chains_per_launch="auto"``: find the largest chain-group
+        size that launches without a device fault, by running the current
+        phase's runner on a 2-draw chunk at full batch and halving on fault
+        (the libtpu kernel-fault class is launch-shape-triggered; see
+        BASELINE.md "Stochastic volatility").  Runs once, lazily, right
+        before the first real launch: state exists, nothing recorded yet, so
+        a faulting probe loses only a re-uploadable copy."""
+        self._auto_launch_probe = False
+        from .checkpoint import _is_key
+
+        C = self.settings.num_chains
+        lo = self._next_draw
+        hi0 = min(lo + 2, self._total)
+        # Host copy of the pristine state: a faulting probe kills the worker
+        # and every device buffer with it; survivors re-upload from here.
+        host = jax.tree.map(
+            lambda x: np.asarray(jax.random.key_data(x) if _is_key(x)
+                                 else x), self.state)
+
+        def upload(n=None):
+            def up(ref, a):
+                if n is not None and a.ndim >= 1 and a.shape[0] == C:
+                    a = a[:n]
+                arr = jnp.asarray(a)
+                return (jax.random.wrap_key_data(arr) if _is_key(ref)
+                        else arr)
+            return jax.tree.map(up, self.state, host)
+
+        b = C
+        while True:
+            start, end, runner = next(
+                (s, e, r) for s, e, r in self._phase_runners if s <= lo < e)
+            hi = min(hi0, end)
+            flags = self.settings.extra_flags(
+                _schedule_chunk(self.schedule, lo, hi), lo, hi)
+            try:
+                out = runner(upload(None if b == C else b), flags)
+                jax.block_until_ready(out)
+                break
+            except Exception as e:
+                msg = f"{type(e).__name__}: {e}"
+                if b <= 1 or not any(tok in msg
+                                     for tok in self._RECOVERABLE_TOKENS):
+                    raise
+                nb = max(1, b // 2)
+                while C % nb:  # keep the group size a divisor of C
+                    nb -= 1
+                warnings.warn(
+                    f"launch-size probe: a {b}-chain launch faulted the "
+                    f"device ({msg[:160]}); retrying at {nb}",
+                    RuntimeWarning)
+                b = nb
+                if not self._wait_device_alive():
+                    raise DeviceLostError(
+                        "device unreachable after a launch-size probe "
+                        "fault; restart the process and pass an explicit "
+                        f"max_chains_per_launch (<= {b * 2})") from e
+                # Executables compiled before the worker restart are bound
+                # to the dead device instance.
+                self._build_phase_runners(fresh=True)
+        # The successful probe DONATED its upload and advanced a throwaway
+        # copy; the real run starts from the pristine state at draw `lo`.
+        self.state = upload()
+        if b < C:
+            self.max_chains_per_launch = b
+            if getattr(self.settings, "cross_chain_adaptation", False):
+                warnings.warn(
+                    "cross_chain_adaptation with the probed "
+                    f"max_chains_per_launch={b} pools within each "
+                    f"{b}-chain launch group only", UserWarning)
+
     def _maybe_recover(self, err: Exception) -> bool:
         """Restore the last chunk-boundary snapshot after a device fault and
         shrink the launch batch; False when not eligible (error type, budget,
@@ -1071,16 +1175,7 @@ class Sampler:
         # a live v5e worker crash raised UNAVAILABLE when issued
         # immediately): probe the device with exponential backoff before
         # moving the snapshot back on.
-        alive = False
-        delay = 5.0
-        for _ in range(6):
-            try:
-                jax.block_until_ready(jnp.zeros(8) + 1.0)
-                alive = True
-                break
-            except Exception:
-                time.sleep(delay)
-                delay = min(delay * 2, 60.0)
+        alive = self._wait_device_alive()
         if not alive:
             # In-process reconnection is impossible on some platforms: the
             # tunneled axon client stays wedged after a v5e worker crash
@@ -1115,23 +1210,31 @@ class Sampler:
         self._tick_base = None
         self._live_done = 0
         # Fresh jit objects: executables compiled before a worker restart
-        # may be bound to the dead device instance.
-        self._build_phase_runners()
+        # may be bound to the dead device instance (so the cross-instance
+        # runner cache must be bypassed AND purged of the stale wrappers).
+        self._build_phase_runners(fresh=True)
         return True
 
-    def _build_phase_runners(self):
+    def _build_phase_runners(self, fresh: bool = False):
         """(Re)build the per-phase jitted runners from ``self.settings``.
 
         Called from ``__init__`` and again by :meth:`_try_engine_fallback`
         when a fused Pallas engine fails to compile/launch on the local
         hardware — the rebuilt runners use the XLA sync kernel, so one bad
         Mosaic lowering can never take a whole run down.
+
+        ``fresh=True`` (device-fault recovery) bypasses the cross-instance
+        runner cache and evicts this key's entry: executables compiled
+        before a worker restart may be bound to the dead device instance.
         """
         settings, model, mesh = self.settings, self.model, self.mesh
         precision = self._precision
 
         reuse_key = self._runner_reuse_key()
-        if reuse_key is not None and reuse_key in _RUNNER_CACHE:
+        if reuse_key is not None and fresh:
+            if _RUNNER_CACHE.pop(reuse_key, None) is not None:
+                _RUNNER_CACHE_ORDER.remove(reuse_key)
+        elif reuse_key is not None and reuse_key in _RUNNER_CACHE:
             self._phase_runners = _RUNNER_CACHE[reuse_key]
             self._probe_runners = []
             _RUNNER_CACHE_ORDER.remove(reuse_key)
@@ -1335,6 +1438,8 @@ class Sampler:
             return self._launch_chunk_at(lo)
 
     def _launch_chunk_at(self, lo):
+        if self._auto_launch_probe:
+            self._resolve_launch_size()
         start, end, runner = next(
             (s, e, r) for s, e, r in self._phase_runners if s <= lo < e)
         hi = min(lo + self.chunk_size, self._total, end)

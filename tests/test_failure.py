@@ -154,7 +154,7 @@ def test_auto_recover_budget_and_error_filter():
     # faulting runners past recovery's runner rebuild)
     s3 = nt.Sampler(model, settings, chunk_size=8, auto_recover=1)
     s3._phase_runners = [(a, b, _fault) for a, b, _ in s3._phase_runners]
-    s3._build_phase_runners = lambda: None
+    s3._build_phase_runners = lambda fresh=False: None
     with pytest.warns(RuntimeWarning, match="device fault"):
         with pytest.raises(RuntimeError, match="UNAVAILABLE"):
             s3.run_next_chunk()
@@ -200,3 +200,76 @@ def test_auto_recover_spills_snapshot_when_device_stays_dead(tmp_path,
     np.testing.assert_array_equal(
         np.asarray(resumed.posterior["position"]),
         np.asarray(clean.posterior["position"]))
+
+
+def test_auto_launch_probe_full_batch_when_no_fault():
+    """max_chains_per_launch="auto" on a healthy device resolves to one
+    full-batch launch (no split) and samples normally."""
+    from nuts_rs_tpu.models import gaussian
+
+    model = gaussian.normal_logp(3, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=20, num_draws=20, num_chains=4,
+                                   seed=7)
+    s = nt.Sampler(model, settings, chunk_size=20,
+                   max_chains_per_launch="auto")
+    trace = s.run()
+    assert s.max_chains_per_launch is None
+    clean = nt.sample(model, settings, chunk_size=20)
+    np.testing.assert_array_equal(
+        np.asarray(trace.posterior["position"]),
+        np.asarray(clean.posterior["position"]))
+
+
+def test_auto_launch_probe_halves_on_kernel_fault(monkeypatch):
+    """The probe halves the launch size on a (injected) libtpu kernel fault
+    until a launch survives, then runs split launches without the user
+    supplying a divisor (VERDICT r3 task 6: SV at 128 chains must run
+    without a magic number)."""
+    from nuts_rs_tpu.models import gaussian
+
+    model = gaussian.normal_logp(3, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=20, num_draws=20, num_chains=8,
+                                   seed=7)
+    s = nt.Sampler(model, settings, chunk_size=20,
+                   max_chains_per_launch="auto")
+
+    def inject():
+        # Fault any launch with more than 4 chains — the shape-triggered
+        # crash class, minus the dead worker.
+        wrapped = []
+        for a, b, r in s._phase_runners:
+            def f(state, flags, r=r):
+                if state.pt.q.shape[0] > 4:
+                    raise RuntimeError("XLA:TPU kernel fault (injected)")
+                return r(state, flags)
+            wrapped.append((a, b, f))
+        s._phase_runners = wrapped
+
+    orig_build = s._build_phase_runners
+
+    def build_and_inject(fresh=False):
+        orig_build(fresh=fresh)
+        inject()
+
+    monkeypatch.setattr(s, "_build_phase_runners", build_and_inject)
+    monkeypatch.setattr("time.sleep", lambda _s: None)
+    inject()
+    with pytest.warns(RuntimeWarning, match="launch-size probe"):
+        trace = s.run()
+    assert s.max_chains_per_launch == 4
+
+    # Split launches are bit-transparent: same draws as an unsplit run.
+    clean = nt.sample(model, settings, chunk_size=20)
+    np.testing.assert_array_equal(
+        np.asarray(trace.posterior["position"]),
+        np.asarray(clean.posterior["position"]))
+
+
+def test_auto_launch_probe_validation():
+    from nuts_rs_tpu.models import gaussian
+
+    model = gaussian.normal_logp(3)
+    settings = nt.DiagNutsSettings(num_tune=10, num_draws=10, num_chains=4)
+    with pytest.raises(ValueError, match="progress_tick"):
+        nt.Sampler(model, settings, max_chains_per_launch="auto",
+                   progress_tick=1)
