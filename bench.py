@@ -146,16 +146,41 @@ def _d2h_bandwidth_mbps():
 
 
 _ANCHOR_LAST_SOURCE = "fallback"
+# Anchor measurements persist across bench runs (same machine, same binary):
+# re-measuring a steady-state single-core rate every run wasted minutes of
+# the driver window (the d=1000 anchor alone can eat its full 300 s cap).
+_ANCHOR_RATES_PATH = "/tmp/nuts_rs_tpu_anchor_rates.json"
+
+
+def _anchor_rates_load():
+    try:
+        with open(_ANCHOR_RATES_PATH) as f:
+            return {tuple(json.loads(k)): v for k, v in json.load(f).items()}
+    except Exception:
+        return {}
+
+
+def _anchor_rates_store(rates):
+    try:
+        with open(_ANCHOR_RATES_PATH, "w") as f:
+            json.dump({json.dumps(list(k)): v for k, v in rates.items()}, f)
+    except Exception:
+        pass
 
 
 def native_anchor_rate(dim, num_tune, num_draws, maxdepth, logreg_n=0):
     """Build (once, cached across runs by mtime) and run the native C++
     single-core anchor; returns grad-evals/s, or the recorded fallback if
-    the toolchain is missing or the budget is too tight.  Sets
-    _ANCHOR_LAST_SOURCE to "measured"/"fallback" for the report."""
+    the toolchain is missing or the budget is too tight.  Measurements
+    persist to disk (the rate is steady-state; once per machine is enough).
+    Sets _ANCHOR_LAST_SOURCE to "measured"/"fallback" for the report."""
     global _ANCHOR_LAST_SOURCE
     _ANCHOR_LAST_SOURCE = "fallback"
     key = (dim, maxdepth, logreg_n)
+    stored = _anchor_rates_load()
+    if key in stored:
+        _ANCHOR_LAST_SOURCE = "measured"
+        return stored[key]
     if _left() < 90:  # the headline line is already out; don't overrun
         return _ANCHOR_FALLBACK.get(key, float("nan"))
     try:
@@ -169,9 +194,11 @@ def native_anchor_rate(dim, num_tune, num_draws, maxdepth, logreg_n=0):
             [_ANCHOR_BIN, str(dim), str(num_tune), str(num_draws),
              str(maxdepth), "42", str(logreg_n)],
             check=True, capture_output=True,
-            timeout=min(300, max(60, _left() / 2)))
+            timeout=min(150, max(60, _left() / 3)))
         rate = float(json.loads(out.stdout)["grad_evals_per_sec"])
         _ANCHOR_LAST_SOURCE = "measured"
+        stored[key] = rate
+        _anchor_rates_store(stored)
         return rate
     except Exception:
         return _ANCHOR_FALLBACK.get(key, float("nan"))
@@ -349,6 +376,13 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
             # steady rate.
             anchor = native_anchor_rate(model.dim, 3, 3, maxdepth,
                                         logreg_n=131072)
+        elif model.dim >= 500 or logreg_n >= 1000:
+            # Expensive single-core regimes: the rate is steady once
+            # adaptation settles; 150+150 draws measures it without eating
+            # the driver window (the 1000+1000 d=1000 anchor ran past its
+            # 300 s cap every time — bench3 postmortem).
+            anchor = native_anchor_rate(model.dim, 150, 150, maxdepth,
+                                        logreg_n=logreg_n)
         else:
             anchor = native_anchor_rate(model.dim, 1000, 1000, maxdepth,
                                         logreg_n=logreg_n)
@@ -518,9 +552,12 @@ def run_bench():
         # the full-stats former headline: what a user sees with every stat
         # streaming over this rig's link
         ("normal_d10", dict(attempts=2)),
-        ("normal_d1000", {}),
-        ("logreg_d100", {}),
+        # cheap-to-expensive: a tight window should still land the most
+        # configs (bench3 postmortem: normal_d1000's cold compile + anchor
+        # starved everything behind it)
         ("mclmc_d10", {}),
+        ("logreg_d100", {}),
+        ("normal_d1000", {}),
         ("logreg_big", dict(num_chains=256, attempts=1)),
     ]
     for name, kw in side:
