@@ -106,7 +106,7 @@ _ANCHOR_FALLBACK = {
 # the GLM configs; elementwise-bound configs report FLOP/s only (an
 # iid-normal leapfrog has no matmuls — VPU-bound, MXU MFU is meaningless).
 _CHIP_PEAKS_BF16_TFLOPS = {
-    "v5e": 197.0, "v5litepod": 197.0, "v5p": 459.0, "v4": 275.0,
+    "v5e": 197.0, "v5lite": 197.0, "v5p": 459.0, "v4": 275.0,
     "v6e": 918.0, "v3": 123.0,
 }
 

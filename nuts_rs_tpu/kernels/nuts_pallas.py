@@ -380,11 +380,26 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             # ---- U-turn checks ----------------------------------------
             # Static unroll over the D levels with 3-D tensors only: Mosaic
             # handles rank-4 broadcasts with pathological relayouts (observed
-            # ~10 ms/iteration; one shape even fails to compile), while the
-            # per-level masked-sum gathers below run in sub-microseconds.
+            # ~10 ms/iteration; one shape even fails to compile).
+            #
+            # Row-index structure (round-4 rewrite; ablated 78% of runtime
+            # at d=1000 in the naive per-level-gather form): for an active
+            # level j (j <= t where t = tz(leaf+1), leaf+1 = m*2^t, m odd):
+            #   rb = tz(leaf+1 - 2^(j-1)) = j-1   ALWAYS (static slice), and
+            #   ra = tz(leaf+1 - 2^j)     = j     for j < t (static slice);
+            #                             > j     only at the boundary j == t.
+            # So every dot product the static levels need comes from one
+            # per-row pass over each stack (Z1LV/LZV2/M1/M2 + adjacent-row
+            # cross dots), computed ONCE per iteration; only the single
+            # per-chain boundary level j == t gathers dynamic rows.  All
+            # values are identical to the per-level-gather form (same
+            # products, same reductions), so draws stay bit-exact.
             if CHECK:
                 turning_int = jnp.zeros(SS, bool)
                 tzn_b = tzn  # [SS]
+
+                def csum3(x):  # [D+1]+VS -> [D+1]+SS per-row contraction
+                    return jnp.sum(x, 2 if LD else 1, keepdims=True)
 
                 def row_gather(stack, row):  # [D+1]+VS, [1]+SS -> [VS]
                     m = rows_s == row
@@ -394,40 +409,49 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                     m = rows_s == row
                     return jnp.sum(jnp.where(m, vec, 0.0), axis=0)
 
-                def level_check(j):
-                    def compute():
-                        s_a = c["leaf"] + 1 - (1 << j)
-                        s_b = c["leaf"] + 1 - (1 << (j - 1))
-                        ra = jnp.minimum(_tz(s_a, D), D).reshape((1,) + SS)
-                        a_z = row_gather(lz, ra)
-                        a_v = row_gather(lv, ra)
-                        a_b = row_gather1(bl, ra)
-                        # t1: (A.first, new)
-                        t1 = ((dirf * (csum(z1 * a_v) - a_b) < 0)
-                              | (dirf * (d1 - csum(a_z * v2)) < 0))
-                        if j < 2:
-                            return t1
-                        rb = jnp.minimum(_tz(s_b, D), D).reshape((1,) + SS)
-                        b_z = row_gather(lz, rb)
-                        b_v = row_gather(lv, rb)
-                        b_b = row_gather1(bl, rb)
-                        # t2: (midpoint_j, new); mid row j is a static slice
-                        t2 = ((dirf * (csum(z1 * mv[j]) - bm[j]) < 0)
-                              | (dirf * (d1 - csum(mz[j] * v2)) < 0))
-                        # t3: (A.first, B.first)
-                        t3 = ((dirf * (csum(b_z * a_v) - a_b) < 0)
-                              | (dirf * (b_b - csum(a_z * b_v)) < 0))
-                        return t1 | t2 | t3
-
-                    # NOTE: a scalar lax.cond on (j <= max(tzn)) would skip
-                    # inactive levels, but Mosaic cannot legalize value-
-                    # returning scf.if; the unconditional unroll is fast
-                    # enough (~sub-us per level).
-                    return compute()
+                z1v = csum3(z1[None] * lv)    # csum(z1 * lv[i]) for all i
+                zv2 = csum3(lz * v2[None])    # csum(lz[i] * v2)
+                m1 = csum3(z1[None] * mv)     # csum(z1 * mv[i])
+                m2 = csum3(mz * v2[None])     # csum(mz[i] * v2)
+                # adjacent-row cross dots for the static-level t3 (index
+                # [j-1] holds the (lz[j-1], lv[j]) pair)
+                adj_bzav = csum3(lz[:-1] * lv[1:])   # csum(lz[j-1]*lv[j])
+                adj_azbv = csum3(lz[1:] * lv[:-1])   # csum(lz[j]*lv[j-1])
 
                 for j in range(1, D + 1):
-                    turning_int = turning_int | (
-                        (j <= tzn_b) & level_check(j))
+                    # static level j (active iff j < tzn): ra == j, rb == j-1
+                    t1 = ((dirf * (z1v[j] - bl[j]) < 0)
+                          | (dirf * (d1 - zv2[j]) < 0))
+                    if j < 2:
+                        tj = t1
+                    else:
+                        t2 = ((dirf * (m1[j] - bm[j]) < 0)
+                              | (dirf * (d1 - m2[j]) < 0))
+                        t3 = ((dirf * (adj_bzav[j - 1] - bl[j]) < 0)
+                              | (dirf * (bl[j - 1] - adj_azbv[j - 1]) < 0))
+                        tj = t1 | t2 | t3
+                    turning_int = turning_int | ((j < tzn_b) & tj)
+
+                # boundary level j == tzn (the only dynamic-row level)
+                s_a = c["leaf"] + 1 - jnp.left_shift(1, tzn_b)
+                ra = jnp.minimum(_tz(s_a, D), D).reshape((1,) + SS)
+                a_b = row_gather1(bl, ra)
+                t1d = ((dirf * (row_gather1(z1v, ra) - a_b) < 0)
+                       | (dirf * (d1 - row_gather1(zv2, ra)) < 0))
+                row_t = tzn_b.reshape((1,) + SS)           # mid row == tzn
+                row_b = (tzn_b - 1).reshape((1,) + SS)     # rb == tzn - 1
+                t2d = ((dirf * (row_gather1(m1, row_t)
+                                - row_gather1(bm, row_t)) < 0)
+                       | (dirf * (d1 - row_gather1(m2, row_t)) < 0))
+                a_z = row_gather(lz, ra)
+                a_v = row_gather(lv, ra)
+                b_z = row_gather(lz, row_b)
+                b_v = row_gather(lv, row_b)
+                t3d = ((dirf * (csum(b_z * a_v) - a_b) < 0)
+                       | (dirf * (row_gather1(bl, row_b)
+                                  - csum(a_z * b_v)) < 0))
+                turning_int = turning_int | ((tzn_b >= 1) & t1d) | (
+                    (tzn_b >= 2) & (t2d | t3d))
             else:
                 turning_int = jnp.zeros(SS, bool)
 
@@ -1041,29 +1065,52 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                             out = out + jnp.where(r2 == i, vec[i], 0.0)
                         return out
 
-                    def level_check(j):
-                        s_a = c["leaf"] + 1 - (1 << j)
-                        s_b = c["leaf"] + 1 - (1 << (j - 1))
-                        ra = jnp.minimum(_tz(s_a, D), D).reshape((1,) + SS)
-                        a_z = row_gather(lz, ra)
-                        a_v = row_gather(lv, ra)
-                        a_b = row_gather1(bl, ra)
-                        t1 = ((dirf * (csum(z1 * a_v) - a_b) < 0)
-                              | (dirf * (d1 - csum(a_z * v2)) < 0))
-                        if j < 2:
-                            return t1
-                        rb = jnp.minimum(_tz(s_b, D), D).reshape((1,) + SS)
-                        b_z = row_gather(lz, rb)
-                        b_v = row_gather(lv, rb)
-                        b_b = row_gather1(bl, rb)
-                        t2 = ((dirf * (csum(z1 * mv[j]) - bm[j]) < 0)
-                              | (dirf * (d1 - csum(mz[j] * v2)) < 0))
-                        t3 = ((dirf * (csum(b_z * a_v) - a_b) < 0)
-                              | (dirf * (b_b - csum(a_z * b_v)) < 0))
-                        return t1 | t2 | t3
+                    # Same static/dynamic row split as the posterior kernel
+                    # (see its U-turn comment): rb == j-1 always, ra == j for
+                    # j < tz(leaf+1); per-row dots precomputed once, only the
+                    # boundary level j == tzn gathers dynamic rows.
+                    def csum3(x):
+                        return jnp.sum(x, 2 if LD else 1, keepdims=True)
+
+                    z1v = csum3(z1[None] * lv)
+                    zv2 = csum3(lz * v2[None])
+                    m1 = csum3(z1[None] * mv)
+                    m2 = csum3(mz * v2[None])
+                    adj_bzav = csum3(lz[:-1] * lv[1:])
+                    adj_azbv = csum3(lz[1:] * lv[:-1])
 
                     for j in range(1, D + 1):
-                        turning_int = turning_int | ((j <= tzn) & level_check(j))
+                        t1 = ((dirf * (z1v[j] - bl[j]) < 0)
+                              | (dirf * (d1 - zv2[j]) < 0))
+                        if j < 2:
+                            tj = t1
+                        else:
+                            t2 = ((dirf * (m1[j] - bm[j]) < 0)
+                                  | (dirf * (d1 - m2[j]) < 0))
+                            t3 = ((dirf * (adj_bzav[j - 1] - bl[j]) < 0)
+                                  | (dirf * (bl[j - 1] - adj_azbv[j - 1]) < 0))
+                            tj = t1 | t2 | t3
+                        turning_int = turning_int | ((j < tzn) & tj)
+
+                    s_a = c["leaf"] + 1 - jnp.left_shift(1, tzn)
+                    ra = jnp.minimum(_tz(s_a, D), D).reshape((1,) + SS)
+                    a_b = row_gather1(bl, ra)
+                    t1d = ((dirf * (row_gather1(z1v, ra) - a_b) < 0)
+                           | (dirf * (d1 - row_gather1(zv2, ra)) < 0))
+                    row_t = tzn.reshape((1,) + SS)
+                    row_b = (tzn - 1).reshape((1,) + SS)
+                    t2d = ((dirf * (row_gather1(m1, row_t)
+                                    - row_gather1(bm, row_t)) < 0)
+                           | (dirf * (d1 - row_gather1(m2, row_t)) < 0))
+                    a_z = row_gather(lz, ra)
+                    a_v = row_gather(lv, ra)
+                    b_z = row_gather(lz, row_b)
+                    b_v = row_gather(lv, row_b)
+                    t3d = ((dirf * (csum(b_z * a_v) - a_b) < 0)
+                           | (dirf * (row_gather1(bl, row_b)
+                                      - csum(a_z * b_v)) < 0))
+                    turning_int = turning_int | ((tzn >= 1) & t1d) | (
+                        (tzn >= 2) & (t2d | t3d))
                     turning_int = turning_int & act
                 else:
                     turning_int = jnp.zeros(SS, bool)
