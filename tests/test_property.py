@@ -338,3 +338,23 @@ def test_trailing_zeros(x, cap):
 ])
 def test_trailing_zeros_regressions(x, cap, expect):
     assert int(trailing_zeros(jnp.int32(x), cap)) == expect
+
+
+def test_uturn_row_index_derivation():
+    """Number-theoretic fact behind the fused kernels' U-turn restructure
+    (kernels/nuts_pallas.py round-4 rewrite): for a new leaf count
+    n = leaf+1 with t = tz(n), every active check level j (1 <= j <= t)
+    reads row rb = tz(n - 2^(j-1)) == j-1 ALWAYS, and row
+    ra = tz(n - 2^j) == j for every j < t — i.e. only the boundary level
+    j == t needs a dynamic row."""
+    def tz(x):
+        return (x & -x).bit_length() - 1 if x else 64
+
+    for n in range(1, 1 << 13):
+        t = tz(n)
+        for j in range(1, t + 1):
+            assert tz(n - (1 << (j - 1))) == j - 1
+            if j < t:
+                assert tz(n - (1 << j)) == j
+            else:
+                assert n - (1 << j) == 0 or tz(n - (1 << j)) > j
