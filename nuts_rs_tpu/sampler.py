@@ -687,6 +687,7 @@ class Sampler:
         max_chains_per_launch: Optional[int] = None,
         keep_stats=None,
         draw_dtype=None,
+        stats_dtype=None,
         progress_tick: Optional[int] = None,
         auto_recover=0,
         recovery_path: Optional[str] = None,
@@ -970,6 +971,12 @@ class Sampler:
             keep_stats = set(keep_stats) | needed
         self._stats_keep = keep_stats
         self.draw_dtype = draw_dtype
+        # Symmetric knob for the REST of the stats tree: float stat arrays
+        # (accept rates, energies, step sizes, ...) down-cast on device
+        # before transfer/storage.  Positions are governed by draw_dtype;
+        # int/bool stats keep their dtypes.  Diagnostics promote to f64
+        # internally, so the cost is storage precision, not compute.
+        self.stats_dtype = stats_dtype
         # Device-fault auto-recovery (SURVEY.md §5 failure recovery, beyond
         # the reference): with auto_recover=N, the sampler keeps a HOST
         # snapshot of the device state at every completed-chunk boundary
@@ -1524,6 +1531,12 @@ class Sampler:
                     same = same.at[0].set(False)
                 detector_same = same
             stats["position"] = stats["position"].astype(self.draw_dtype)
+        if self.stats_dtype is not None:
+            stats = {k: (v.astype(self.stats_dtype)
+                         if k != "position"
+                         and jnp.issubdtype(v.dtype, jnp.floating)
+                         else v)
+                     for k, v in stats.items()}
         # Device -> host; [k, C, ...] -> [C, k, ...]
         stats = jax.tree.map(lambda x: np.moveaxis(np.asarray(x), 0, 1), stats)
         if detector_same is not None:
@@ -2023,6 +2036,7 @@ def sample(
     max_chains_per_launch: Optional[int] = None,
     keep_stats=None,
     draw_dtype=None,
+    stats_dtype=None,
 ) -> Trace:
     """Sample from ``model`` — the TPU analog of ``Sampler::new`` + ``wait``.
 
@@ -2039,7 +2053,8 @@ def sample(
         init_positions=init_positions, progress_callback=progress_callback,
         mesh=mesh, stop_when=stop_when, fail_after=fail_after,
         max_chains_per_launch=max_chains_per_launch,
-        keep_stats=keep_stats, draw_dtype=draw_dtype)
+        keep_stats=keep_stats, draw_dtype=draw_dtype,
+        stats_dtype=stats_dtype)
     return sampler.run()
 
 

@@ -426,3 +426,27 @@ def test_runner_reuse_lru_cap_and_pinning():
         nt.Sampler(m, settings)
     assert len(_RUNNER_CACHE) <= _RUNNER_CACHE_MAX
     assert not any(k[0] == id(model0) for k in _RUNNER_CACHE)
+
+
+def test_stats_dtype_downcast():
+    """stats_dtype down-casts every float stat array (not positions, not
+    int/bool stats) on device before transfer — the symmetric knob to
+    draw_dtype for full-stats transfer-bound hosts."""
+    import jax.numpy as jnp
+
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+
+    model = g.normal_logp(4, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=30, num_draws=30, num_chains=2,
+                                   seed=3)
+    t = nt.sample(model, settings, stats_dtype=jnp.float16)
+    assert t.sample_stats["step_size"].dtype == np.float16
+    assert t.sample_stats["mean_tree_accept"].dtype == np.float16
+    assert t.sample_stats["n_steps"].dtype != np.float16      # int stays
+    assert t.sample_stats["diverging"].dtype == np.bool_
+    assert t.posterior["position"].dtype != np.float16        # draw_dtype's job
+    # posterior still correct
+    full = nt.sample(model, settings)
+    np.testing.assert_array_equal(t.posterior["position"],
+                                  full.posterior["position"])
