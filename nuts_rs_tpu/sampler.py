@@ -926,6 +926,7 @@ class Sampler:
         # BASELINE.md — users shouldn't have to discover that in production
         # and then guess a divisor).
         self._auto_launch_probe = max_chains_per_launch == "auto"
+        self._probed_runners: set = set()
         if self._auto_launch_probe:
             max_chains_per_launch = None
             if mesh is not None:
@@ -1086,12 +1087,12 @@ class Sampler:
     def _resolve_launch_size(self) -> None:
         """``max_chains_per_launch="auto"``: find the largest chain-group
         size that launches without a device fault, by running the current
-        phase's runner on a 2-draw chunk at full batch and halving on fault
-        (the libtpu kernel-fault class is launch-shape-triggered; see
-        BASELINE.md "Stochastic volatility").  Runs once, lazily, right
-        before the first real launch: state exists, nothing recorded yet, so
-        a faulting probe loses only a re-uploadable copy."""
-        self._auto_launch_probe = False
+        phase's runner on a 2-draw chunk and halving on fault (the libtpu
+        kernel-fault class is launch-shape-triggered; see BASELINE.md
+        "Stochastic volatility").  Runs lazily at each PHASE's first launch
+        (warmup and posterior run different kernels, so a fault can be
+        phase-specific); later probes start from the already-resolved group
+        size.  A faulting probe loses only a re-uploadable state copy."""
         from .checkpoint import _is_key
 
         C = self.settings.num_chains
@@ -1112,7 +1113,7 @@ class Sampler:
                         else arr)
             return jax.tree.map(up, self.state, host)
 
-        b = C
+        b = self.max_chains_per_launch or C
         while True:
             start, end, runner = next(
                 (s, e, r) for s, e, r in self._phase_runners if s <= lo < e)
@@ -1146,6 +1147,7 @@ class Sampler:
                 self._build_phase_runners(fresh=True)
         # The successful probe DONATED its upload and advanced a throwaway
         # copy; the real run starts from the pristine state at draw `lo`.
+        self._probed_runners.add(id(runner))
         self.state = upload()
         if b < C:
             self.max_chains_per_launch = b
@@ -1446,7 +1448,10 @@ class Sampler:
 
     def _launch_chunk_at(self, lo):
         if self._auto_launch_probe:
-            self._resolve_launch_size()
+            probe_runner = next(
+                r for s, e, r in self._phase_runners if s <= lo < e)
+            if id(probe_runner) not in self._probed_runners:
+                self._resolve_launch_size()
         start, end, runner = next(
             (s, e, r) for s, e, r in self._phase_runners if s <= lo < e)
         hi = min(lo + self.chunk_size, self._total, end)
