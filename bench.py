@@ -588,9 +588,64 @@ def run_bench():
     return _result(head_rate, head, grid)
 
 
+def run_mesh():
+    """Weak-scaling harness over a chains-axis device mesh: fixed chains PER
+    DEVICE, mesh grown over the available devices (BASELINE.json target:
+    weak-scaling >= 90% to a pod slice).  On the 1-chip dev rig this
+    measures N=1 only; on a real slice the curve is the deliverable.  On
+    CPU it exercises the sharded code path with virtual devices (set
+    XLA_FLAGS=--xla_force_host_platform_device_count=8) — a code-path
+    check, not a hardware measurement (virtual devices share one host)."""
+    import nuts_rs_tpu as nt
+
+    model, _ = _make_model("normal_d10")
+    per_dev = 256
+    n_total = len(jax.devices())
+    rows = []
+    base = None
+    n = 1
+    while n <= n_total:
+        C = per_dev * n
+        settings = nt.DiagNutsSettings(num_tune=300, num_draws=400,
+                                       num_chains=C, seed=0)
+        mesh = nt.make_mesh(n)
+        t_best, evals = None, 0
+        for _ in range(2):
+            s = nt.Sampler(model, settings, dtype=jnp.float32,
+                           chunk_size=400, mesh=mesh)
+            t0 = time.monotonic()
+            t = s.run()
+            dt = time.monotonic() - t0
+            evals = int(np.asarray(
+                t.sample_stats["n_steps"]).astype(np.int64).sum())
+            t_best = dt if t_best is None else min(t_best, dt)
+        rate = evals / t_best
+        if base is None:
+            base = rate
+        rows.append({"devices": n, "chains": C,
+                     "evals_per_sec": round(rate, 1),
+                     "weak_scaling_efficiency": round(rate / (base * n), 3)})
+        _emit({"metric": "mesh_weak_scaling", "value": rows[-1][
+            "weak_scaling_efficiency"], "unit": "efficiency",
+            "vs_baseline": 1.0,
+            "detail": {"rows": rows, "chains_per_device": per_dev,
+                       "platform": jax.devices()[0].platform}})
+        n *= 2
+    return {"metric": "mesh_weak_scaling", "value": rows[-1][
+        "weak_scaling_efficiency"], "unit": "efficiency",
+        "vs_baseline": 1.0,
+        "detail": {"rows": rows, "chains_per_device": per_dev,
+                   "platform": jax.devices()[0].platform}}
+
+
 if __name__ == "__main__":
     try:
-        result = run_micro() if "--micro" in sys.argv else run_bench()
+        if "--mesh" in sys.argv:
+            result = run_mesh()
+        elif "--micro" in sys.argv:
+            result = run_micro()
+        else:
+            result = run_bench()
     except Exception as e:
         # The driver parses the last JSON line; emit one no matter what.
         result = {"metric": "gradient_evals_per_sec_per_chip", "value": 0.0,
