@@ -138,9 +138,15 @@ def build_schedule(num_tune: int, num_draws: int,
             if is_early:
                 next_window = opts.early_mass_matrix_switch_freq
             else:
+                # floor(x + 0.5) = Rust f64::round (half away from zero) —
+                # NOT Python round() (banker's): at e.g. switch_freq=31 the
+                # grown window hits 46.5, where the reference (and the
+                # device good-draw mode) round to 47, Python to 46.
                 next_window = max(
                     current_window + 1,
-                    int(round(current_window * opts.mass_matrix_window_growth)))
+                    int(np.floor(
+                        current_window * opts.mass_matrix_window_growth
+                        + 0.5)))
             is_late = next_window + draw > final_step_size_window
 
             force_update = False

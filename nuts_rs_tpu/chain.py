@@ -254,14 +254,25 @@ def make_draw_step(model, strategy, config: ChainConfig):
             is_late = ((next_window + draw.astype(cdt))
                        > wp.final_step_size_window)
             switch_mask = could_switch & (~is_late) & in_win
-            da = _select_chains(switch_mask, jax.vmap(mm.switch)(da), da)
+            # Gate the vmapped work on any-chain-active (like the reinit
+            # cond below): posterior draws and most warmup draws have
+            # all-False masks, and the selects alone would re-run the full
+            # O(C*d) switch/update every draw.
+            da = jax.lax.cond(
+                jnp.any(switch_mask),
+                lambda d: _select_chains(switch_mask,
+                                         jax.vmap(mm.switch)(d), d),
+                lambda d: d, da)
             cw = jnp.where(switch_mask & (~is_early), next_window, cw)
             state = state._replace(diag_adapt=da)
             update_mask = (switch_mask
                            | ((draw - w.last_update) >= wp.update_freq))
             update_mask = update_mask & in_win
             enough = da.draw.count >= 3.0
-            state = strategy.adapt_update_masked(state, update_mask)
+            state = jax.lax.cond(
+                jnp.any(update_mask),
+                lambda s: strategy.adapt_update_masked(s, update_mask),
+                lambda s: s, state)
             did_change = update_mask & enough
             state = state._replace(window=WindowState(
                 current_window=cw,

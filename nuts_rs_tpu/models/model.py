@@ -128,6 +128,14 @@ class Model:
     # included), so draw-indexed outputs stay invariant to the sampler's
     # internal chunk_size.  Stored alongside expand_fn outputs in every
     # backend (Zarr maps them to "<U{n}" / "<M8[ns]" arrays).
+    #
+    # Schema-reflection caveat: backends that declare the trace schema
+    # upfront (Zarr) probe this fn ONCE at Sampler construction with a
+    # single all-zeros position block (positions=[C, 1, d] zeros,
+    # first_draw=0) to learn output names/dtypes — the fn should be free of
+    # per-call side effects (don't append to external buffers or write
+    # files inside it); raising on the probe is fine (the fn is then just
+    # not reflected and its arrays materialize on first write).
     expand_host_fn: Optional[Callable] = None
     # True when ``logp_fn`` is written against ``parallel.axis.dsum``/
     # ``dfinish`` so it computes the GLOBAL log density when traced inside a

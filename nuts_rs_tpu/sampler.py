@@ -1141,7 +1141,8 @@ class Sampler:
                     raise DeviceLostError(
                         "device unreachable after a launch-size probe "
                         "fault; restart the process and pass an explicit "
-                        f"max_chains_per_launch (<= {b * 2})") from e
+                        f"max_chains_per_launch (try {b}; sizes >= "
+                        f"{min(b * 2, C)} faulted)") from e
                 # Executables compiled before the worker restart are bound
                 # to the dead device instance.
                 self._build_phase_runners(fresh=True)
@@ -1240,9 +1241,13 @@ class Sampler:
         precision = self._precision
 
         reuse_key = self._runner_reuse_key()
-        if reuse_key is not None and fresh:
-            if _RUNNER_CACHE.pop(reuse_key, None) is not None:
-                _RUNNER_CACHE_ORDER.remove(reuse_key)
+        if fresh:
+            # A worker restart invalidates EVERY cached executable (they are
+            # bound to the dead device instance), not just this sampler's
+            # entry — other keys would otherwise serve stale wrappers to
+            # later samplers on the healthy restarted worker.
+            _RUNNER_CACHE.clear()
+            _RUNNER_CACHE_ORDER.clear()
         elif reuse_key is not None and reuse_key in _RUNNER_CACHE:
             self._phase_runners = _RUNNER_CACHE[reuse_key]
             self._probe_runners = []
@@ -1579,8 +1584,12 @@ class Sampler:
             # datetime64 — nuts-storable Value parity; see Model).  A
             # two-argument fn also receives the chunk's first GLOBAL draw
             # index, so draw-indexed outputs don't shift with chunk_size (a
-            # performance knob must never change stored data).
-            pos_np = np.asarray(stats["position"])
+            # performance knob must never change stored data).  Like the
+            # device expansion above, the host fn sees the FULL-precision
+            # positions when draw_dtype downcasts the stored copy.
+            pos_np = (np.moveaxis(np.asarray(pos_full_dev), 0, 1)
+                      if pos_full_dev is not None
+                      else np.asarray(stats["position"]))
             if self._expand_host_wants_offset:
                 expanded.update(self.model.expand_host_fn(pos_np, lo))
             else:
@@ -1910,6 +1919,17 @@ class Sampler:
                 if "position" in d:
                     d["position"] = dict(d["position"],
                                          dtype=np.dtype(self.draw_dtype))
+        if self.stats_dtype is not None:
+            # Mirror _finish_chunk's on-device downcast: float stat arrays
+            # (not positions) land in storage at stats_dtype, so the
+            # declared schema must say so (an upfront-declared f32 array
+            # would silently upcast the f16 chunks back on write).
+            sd = np.dtype(self.stats_dtype)
+            for d in (warm, post):
+                for name, e in d.items():
+                    if (name != "position"
+                            and np.issubdtype(e["dtype"], np.floating)):
+                        d[name] = dict(e, dtype=sd)
 
         expanded = {}
         if self._expand_chunk is not None:

@@ -450,3 +450,45 @@ def test_stats_dtype_downcast():
     full = nt.sample(model, settings)
     np.testing.assert_array_equal(t.posterior["position"],
                                   full.posterior["position"])
+
+
+def test_expand_host_fn_sees_full_precision_under_draw_dtype():
+    """Host deterministics must be computed from the FULL-precision
+    positions even when draw_dtype down-casts the stored copy (same
+    contract as the device expand_fn)."""
+    import jax.numpy as jnp
+
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+
+    base = g.normal_logp(3, mu=1.0)
+    import dataclasses as dc
+
+    model = dc.replace(
+        base, expand_host_fn=lambda pos: {"double": pos.astype(np.float64) * 2.0})
+    settings = nt.DiagNutsSettings(num_tune=20, num_draws=20, num_chains=2,
+                                   seed=9)
+    full = nt.sample(model, settings)
+    thin = nt.sample(model, settings, draw_dtype=jnp.float16)
+    # identical expansion values — not f16-rounded ones
+    np.testing.assert_array_equal(full.posterior["double"],
+                                  thin.posterior["double"])
+    assert thin.posterior["position"].dtype == np.float16
+
+
+def test_runner_cache_fully_purged_on_fresh_rebuild():
+    """A worker restart invalidates every cached executable; fresh=True must
+    clear the whole cache, not just the rebuilding sampler's key."""
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+    from nuts_rs_tpu.sampler import _RUNNER_CACHE
+
+    model = g.normal_logp(3)
+    s1 = nt.Sampler(model, nt.DiagNutsSettings(num_tune=10, num_draws=10,
+                                               num_chains=2, seed=1))
+    s2 = nt.Sampler(model, nt.DiagNutsSettings(num_tune=10, num_draws=10,
+                                               num_chains=2, seed=2))
+    assert len(_RUNNER_CACHE) >= 2
+    s1._build_phase_runners(fresh=True)
+    assert len(_RUNNER_CACHE) == 0 or all(
+        k[1].seed != 2 for k in _RUNNER_CACHE)  # s2's stale entry gone

@@ -442,3 +442,33 @@ def test_schema_reflects_transfer_knobs():
     assert sch["posterior"]["position"]["dtype"] == np.float16
     assert "logp" in sch["sample_stats"]
     assert "energy" not in sch["sample_stats"]
+
+
+def test_stats_dtype_respected_by_upfront_zarr_schema(tmp_path):
+    """stats_dtype must flow through schema reflection: the upfront-declared
+    Zarr arrays carry the downcast dtype, so chunks are stored at f16
+    instead of being silently upcast back by a f32-declared array."""
+    import jax.numpy as jnp
+
+    import nuts_rs_tpu as nt
+    from nuts_rs_tpu.models import gaussian as g
+    from nuts_rs_tpu.storage.zarr import ZarrConfig
+
+    path = str(tmp_path / "t.zarr")
+    model = g.normal_logp(3, mu=1.0)
+    settings = nt.DiagNutsSettings(num_tune=20, num_draws=20, num_chains=2,
+                                   seed=5)
+    s = nt.Sampler(model, settings, storage=ZarrConfig(path),
+                   stats_dtype=jnp.float16, draw_dtype=jnp.float16)
+    s.run()
+    import json
+    import os
+
+    def zarr_dtype(name):
+        with open(os.path.join(path, name, ".zarray")) as f:
+            return json.load(f)["dtype"]
+
+    assert zarr_dtype("sample_stats/step_size") == "<f2"
+    assert zarr_dtype("sample_stats/mean_tree_accept") == "<f2"
+    assert zarr_dtype("posterior/position") == "<f2"       # draw_dtype
+    assert zarr_dtype("sample_stats/diverging") == "|b1"   # bool untouched
