@@ -522,11 +522,58 @@ def _result(head_rate, head, grid, provisional=False):
 
 
 def run_bench():
-    # ---- 1. headline FIRST: normal_d10_thin (transfer knobs on) --------
+    # ---- 0. boot line: SOMETHING parseable exists from second one ------
+    # Two rounds of driver artifacts died with rc=124 and ZERO stdout; a
+    # tunnel stall (observed 15+ min) or host contention before the first
+    # config completes must still leave a parseable last line.
+    t0 = time.monotonic()
+    try:
+        jax.block_until_ready(jnp.zeros(8) + 1.0)
+        probe_s = round(time.monotonic() - t0, 2)
+    except Exception as e:
+        probe_s = _short_err(e)
+    _emit({"metric": "gradient_evals_per_sec_per_chip", "value": 0.0,
+           "unit": "grad_evals/s", "vs_baseline": 0.0,
+           "detail": {"provisional": "boot — no config has completed yet",
+                      "platform": jax.devices()[0].platform,
+                      "device_probe_s": probe_s, "budget_s": _BUDGET_S}})
+
+    # ---- 0b. quick headline: smallest run that still measures the fused
+    # engine end-to-end (256 chains, 100+200 draws).  In degraded tunnel
+    # weather (measured 12.7 s PER DISPATCH during round-4 validation) the
+    # full headline cannot finish inside a driver window at all; this lands
+    # a real — if conservative — rate first.  Skipped when the device probe
+    # was fast and the budget generous?  No: always run it, it costs ~30-60 s
+    # warm and its line is strictly better than the boot line.
     thin_kw = dict(keep_stats=(), draw_dtype=jnp.float16)
+    fb_anchor = _ANCHOR_FALLBACK[(10, 10, 0)]
+    try:
+        q_rate, q_head = run_config(
+            "normal_d10_thin", num_chains=256, num_tune=100, num_draws=200,
+            attempts=1, sampler_kw=thin_kw, with_anchor=False)
+        q_head["config"] = "normal_d10_thin_quick"
+        q_head["native_anchor_evals_per_sec_1core"] = round(fb_anchor, 1)
+        q_head["vs_native_anchor"] = round(q_rate / fb_anchor, 3)
+        q_head["anchor_source"] = "fallback"
+        q_head["provisional"] = ("quick 256-chain probe config — the full "
+                                 "1024-chain headline follows")
+        _emit(_result(q_rate, q_head, [q_head], provisional=True))
+    except Exception:
+        pass
+
+    # ---- 1. headline: normal_d10_thin (transfer knobs on) --------------
+    # Pass 1 emits a provisional line the moment it lands; pass 2 (cheap:
+    # the runner cache keeps the traced executables) makes it best-of-2.
+
+    def finish_head(rate, h):
+        h["native_anchor_evals_per_sec_1core"] = round(fb_anchor, 1)
+        h["vs_native_anchor"] = round(rate / fb_anchor, 3)
+        h["anchor_source"] = "fallback"
+        return h
+
     try:
         head_rate, head = run_config("normal_d10_thin", sampler_kw=thin_kw,
-                                     attempts=2, with_anchor=False)
+                                     attempts=1, with_anchor=False)
     except Exception as e:
         # The headline must never die with the whole bench: if the fused
         # engine fails to compile on this chip/toolchain, fall back to the
@@ -534,14 +581,19 @@ def run_bench():
         # itself already falls back via Sampler._try_engine_fallback; this
         # catches anything that escapes even that.)
         head_rate, head = run_config("normal_d10_thin", kernel="sync",
-                                     sampler_kw=thin_kw, with_anchor=False)
+                                     sampler_kw=thin_kw, attempts=1,
+                                     with_anchor=False)
         head["fused_engine_error"] = _short_err(e)
-    # Provisional vs_baseline from the recorded fallback anchor, so the
-    # early line is complete even if nothing after it survives.
-    fb_anchor = _ANCHOR_FALLBACK[(10, 10, 0)]
-    head["native_anchor_evals_per_sec_1core"] = round(fb_anchor, 1)
-    head["vs_native_anchor"] = round(head_rate / fb_anchor, 3)
-    head["anchor_source"] = "fallback"
+    head = finish_head(head_rate, head)
+    _emit(_result(head_rate, head, [head], provisional=True))
+    if _left() > 180:
+        try:
+            r2, h2 = run_config("normal_d10_thin", sampler_kw=thin_kw,
+                                attempts=1, with_anchor=False)
+            if r2 > head_rate:
+                head_rate, head = r2, finish_head(r2, h2)
+        except Exception:
+            pass
     bw = _d2h_bandwidth_mbps()
     if bw is not None:
         head["d2h_bandwidth_mbps"] = bw
