@@ -1148,3 +1148,140 @@ def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
         return state, stats
 
     return runner
+
+
+def make_pallas_mclmc_posterior_runner(model, strategy, config: ChainConfig,
+                                       mopts, phase_start: int,
+                                       base_seed: int):
+    """MCLMC posterior-phase runner on the fused Pallas engine.
+
+    Valid for frozen diagonal transforms with no extra stores; the posterior
+    phase never fully resamples the momentum (``MclmcSettings.extra_flags``
+    only sets ``resample_velocity`` on draw 0 and at the trajectory switch,
+    both inside warmup), so the velocity threads through the kernel's
+    ``fin_v`` slot between launches.  Signature matches the scan runners:
+    ``(state, flags) -> (state, stats)`` with stats[name] shaped [k, C, ...].
+    """
+    from .kernels.mclmc_pallas import mclmc_pallas_run
+
+    sset = config.step_size
+
+    if model.pallas_logp_grad is not None:
+        logp_grad_batched, pallas_args = model.pallas_logp_grad
+    elif model.pallas_spec is not None:
+        logp_fn_args, pallas_args = model.pallas_spec
+
+        def logp_grad_batched(q, *args):  # [d, B] -> ([B], [d, B])
+            f = lambda qq: logp_fn_args(qq, *args)
+            return jax.vmap(jax.value_and_grad(f), in_axes=1,
+                            out_axes=(0, 1))(q)
+    elif model.pallas_stream is not None:
+        # No HBM-streaming variant of the MCLMC kernel yet.
+        return None
+    else:
+        pallas_args = ()
+
+        def logp_grad_batched(q):
+            return jax.vmap(model.logp_and_grad, in_axes=1, out_axes=(0, 1))(q)
+
+    interpret = jax.default_backend() != "tpu"
+
+    # VMEM budget: no checkpoint stacks here — the carry is ~8 d-vectors
+    # plus ~16 body temporaries; outputs K*(d + NSTATS_M) double-buffered.
+    dim = model.dim
+    args_bytes = 4 * sum(int(np.prod(a.shape)) for a in pallas_args)
+    fixed = 32 * dim + 64
+    block = None
+    for tier in (256, 128):
+        if 4 * tier * (fixed + 2 * 8 * (dim + 8)) + args_bytes <= 12_000_000:
+            block = tier
+            break
+    if block is None:
+        return None
+    budget_words = (13_000_000 - args_bytes) // (4 * block)
+    MAX_K = int(max(8, min(64, (budget_words - fixed) // (2 * (dim + 8)))))
+
+    def runner(state: ChainState, flags):
+        k = flags["is_tuning"].shape[0]
+        bars = jax.vmap(partial(ss.step_size_bar, settings=sset))(state.step)
+
+        pos, g_f, logp_f, v_f = (state.pt.q, state.pt.g, state.pt.logp,
+                                 state.pt.v)
+        step_in = state.step.step_size
+        dev_salt = jax.random.randint(
+            state.keys[0], (), 0, 2**31 - 1, dtype=jnp.int32)
+
+        def launch_step(start_draw):
+            kj = jax.vmap(lambda kc: jax.random.fold_in(
+                jax.random.fold_in(kc, 0x6A17), start_draw))(state.keys)
+            u = jax.vmap(lambda k_: jax.random.uniform(
+                k_, (), bars.dtype,
+                minval=1.0 - sset.jitter, maxval=1.0 + sset.jitter))(kj)
+            return bars * u
+
+        draws_parts, out_parts = [], []
+        done = 0
+        while done < k:
+            kk = min(MAX_K, k - done)
+            if sset.jitter is not None:
+                if done == 0:
+                    step_in = jnp.where(state.draw_idx == phase_start,
+                                        step_in, launch_step(state.draw_idx))
+                else:
+                    step_in = launch_step(state.draw_idx + done)
+            seed = (jnp.int32(base_seed & 0x7FFFFFFF)
+                    ^ ((state.draw_idx + done)
+                       * jnp.int32(2654435761 & 0x7FFFFFFF))
+                    ^ dev_salt)
+            pos, g_f, logp_f, v_f, dpart, opart = mclmc_pallas_run(
+                seed, pos, g_f, logp_f, v_f,
+                state.transform.stds, state.transform.mean,
+                state.transform.logdet, step_in, bars,
+                kk, logp_grad_batched, mopts, sset.jitter,
+                interpret=interpret, model_args=pallas_args, block=block,
+            )
+            step_in = opart["step_size"][:, -1]
+            draws_parts.append(dpart)
+            out_parts.append(opart)
+            done += kk
+        draws = jnp.concatenate(draws_parts, axis=1)
+        out = {key: jnp.concatenate([o[key] for o in out_parts], axis=1)
+               for key in out_parts[0] if key != "loop_iterations"}
+
+        z_f = jax.vmap(to_transformed_)(state.transform, pos)
+        zg_f = jax.vmap(grad_to_transformed_)(state.transform, g_f)
+        if mopts.kind is KineticKind.MICROCANONICAL:
+            ke_f = jnp.zeros_like(logp_f)
+        else:
+            ke_f = 0.5 * jnp.sum(v_f * v_f, axis=-1)
+        pt = state.pt._replace(q=pos, g=g_f, z=z_f, zg=zg_f, logp=logp_f,
+                               v=v_f, ke=ke_f)
+        state = state._replace(
+            pt=pt,
+            step=state.step._replace(step_size=step_in),
+            draw_idx=state.draw_idx + k,
+        )
+
+        def t(x):
+            return jnp.moveaxis(x, 0, 1)
+
+        e_change = t(out["energy_change"])
+        stats = {
+            "position": t(draws),
+            "diverging": t(out["diverging"] > 0.5),
+            "n_steps": t(out["n_steps"].astype(jnp.int32)),
+            "energy_change": e_change,
+            # nuts-rs stores energy_change as the log weight (mclmc.rs:441-2)
+            "log_weight": e_change,
+            "average_step_size": t(out["average_step_size"]),
+            "step_size": t(out["step_size"]),
+            "logp": t(out["logp"]),
+            "energy": t(out["energy"]),
+            "fisher_distance": t(out["fisher_distance"]),
+            "transformation_index": jnp.broadcast_to(
+                state.transform.id[None, :], (k,) + state.transform.id.shape),
+            "tuning": jnp.zeros((k, state.pt.q.shape[0]), bool),
+        }
+        return state, stats
+
+    return runner

@@ -331,6 +331,10 @@ class MclmcSettings:
     # only the geometry pools.
     cross_chain_adaptation: bool = False
     mesh_axis_name: Optional[str] = None
+    # "sync" (XLA scan, default) or "pallas": the fused VMEM-resident
+    # posterior engine (kernels/mclmc_pallas.py).  Warmup always runs the
+    # XLA path (the windowed adaptation schedule is draw-synchronous).
+    posterior_kernel: str = "sync"
 
     @property
     def step_size_settings(self) -> StepSizeSettings:
@@ -382,23 +386,83 @@ class MclmcSettings:
             store_divergences=self.store_divergences,
         )
 
+    def _pallas_disqualifiers(self) -> list:
+        reasons = []
+        if self.mass_matrix != "diag":
+            reasons.append(f"mass_matrix={self.mass_matrix!r}")
+        for f in ("store_gradient", "store_unconstrained",
+                  "store_transformed", "store_divergences",
+                  "store_mass_matrix"):
+            if getattr(self, f):
+                reasons.append(f"{f}=True")
+        if self.mesh_axis_name is not None:
+            reasons.append(f"mesh_axis_name={self.mesh_axis_name!r}")
+        if self.cross_chain_adaptation:
+            reasons.append("cross_chain_adaptation=True")
+        return reasons
+
     def build_phases(self, model, strategy, config):
         from .chain import make_mclmc_draw_step
 
         total = self.num_tune + self.num_draws
+        # Posterior trajectory kind: EUCLIDEAN_EARLY_THEN_MICROCANONICAL has
+        # switched to Microcanonical by num_tune (switch_draw < num_tune).
+        post_kind = (MclmcTrajectoryKind.EUCLIDEAN
+                     if self.trajectory_kind is MclmcTrajectoryKind.EUCLIDEAN
+                     else MclmcTrajectoryKind.MICROCANONICAL)
+        post_runner = None
+        if self.posterior_kernel == "pallas":
+            reasons = self._pallas_disqualifiers()
+            if reasons:
+                import warnings
+
+                warnings.warn(
+                    "posterior_kernel='pallas' requested but the fused "
+                    "MCLMC engine does not support: " + "; ".join(reasons)
+                    + " — using the XLA sync kernel", UserWarning)
+            else:
+                from .chain import make_pallas_mclmc_posterior_runner
+
+                post_runner = make_pallas_mclmc_posterior_runner(
+                    model, strategy, config,
+                    self._mclmc_options(post_kind),
+                    phase_start=self.num_tune, base_seed=self.seed)
+                if post_runner is None:
+                    import warnings
+
+                    warnings.warn(
+                        "posterior_kernel='pallas' requested but no fused-"
+                        "engine tier fits this model (VMEM budget or "
+                        "streaming-only likelihood) — using the XLA sync "
+                        "kernel", UserWarning)
+        elif self.posterior_kernel != "sync":
+            raise ValueError(
+                f"unknown posterior_kernel {self.posterior_kernel!r}")
+
         if self.switch_draw is None:
             opts = self._mclmc_options(self.trajectory_kind)
             step = make_mclmc_draw_step(model, strategy, config, opts)
-            return [(0, total, partial(_scan_chunk, step))]
-        sw = self.switch_draw
-        eucl = make_mclmc_draw_step(
-            model, strategy, config,
-            self._mclmc_options(MclmcTrajectoryKind.EUCLIDEAN))
-        micro = make_mclmc_draw_step(
-            model, strategy, config,
-            self._mclmc_options(MclmcTrajectoryKind.MICROCANONICAL))
-        return [(0, sw, partial(_scan_chunk, eucl)),
-                (sw, total, partial(_scan_chunk, micro))]
+            warm = [(0, total, partial(_scan_chunk, step))]
+        else:
+            sw = self.switch_draw
+            eucl = make_mclmc_draw_step(
+                model, strategy, config,
+                self._mclmc_options(MclmcTrajectoryKind.EUCLIDEAN))
+            micro = make_mclmc_draw_step(
+                model, strategy, config,
+                self._mclmc_options(MclmcTrajectoryKind.MICROCANONICAL))
+            warm = [(0, sw, partial(_scan_chunk, eucl)),
+                    (sw, total, partial(_scan_chunk, micro))]
+        if post_runner is None:
+            return warm
+        # Truncate the sync phases at num_tune; the fused engine takes over.
+        phases = []
+        for lo, hi, r in warm:
+            if lo >= self.num_tune:
+                continue
+            phases.append((lo, min(hi, self.num_tune), r))
+        phases.append((self.num_tune, total, post_runner))
+        return phases
 
     def extra_flags(self, flags, lo, hi):
         # Full momentum resample on the first draw and at the trajectory
