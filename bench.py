@@ -242,12 +242,15 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
                 else 131072 if base_name == "logreg_big" else 0)
     if name == "mclmc_d10":
         # Unadjusted microcanonical sampler (the reference's experimental
-        # MCLMC): tiny per-draw carry, so the XLA path already runs at fused
-        # speeds (1.26M evals/s measured on v5e at 1024 chains).
-        kernel = "mclmc"
+        # MCLMC).  Posterior on the fused Pallas engine on real TPUs
+        # (kernels/mclmc_pallas.py): 16.9M device evals/s vs the XLA scan
+        # path's 5.9M, measured state-chained on v5e.  Warmup stays on the
+        # XLA path (draw-synchronous adaptation schedule).
+        kernel = "mclmc-pallas" if on_tpu else "mclmc"
         settings = nt.DiagMclmcSettings(
             num_tune=num_tune, num_draws=num_draws, num_chains=num_chains,
-            seed=0)
+            seed=0,
+            posterior_kernel="pallas" if on_tpu else "sync")
     else:
         if kernel is None:
             # The fused Pallas engine is the fast path on real TPUs; at
