@@ -35,6 +35,7 @@ from .sampler import (
     Sampler,
     sample,
     sample_sequentially,
+    schema,
 )
 from .diagnostics import ess_bulk, ess_tail, split_rhat, summary
 from .storage.arrow import ArrowConfig

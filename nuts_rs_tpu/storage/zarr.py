@@ -39,10 +39,11 @@ class _GroupBuffer:
     """Per-group draw buffer flushed as aligned (1, chunk_draws, ...) chunks."""
 
     def __init__(self, group: ZarrGroup, num_chains: int, total_draws: int,
-                 chunk_draws: int, writer=None, codec=None):
+                 chunk_draws: int, writer=None, codec=None, shuffle=False):
         self.group = group
         self.writer = writer
         self.codec = codec or default_codec()
+        self.shuffle = shuffle
         self.num_chains = num_chains
         self.total = total_draws
         self.chunk_draws = chunk_draws
@@ -68,6 +69,7 @@ class _GroupBuffer:
             dims=["chain", "draw"] + list(dims_tail),
             writer=self.writer,
             codec=self.codec,
+            shuffle=self.shuffle,
         )
         self.pending[name] = []
 
@@ -135,7 +137,7 @@ class ZarrStorage(TraceStorage):
     def __init__(self, path: str, settings, model, num_chains: int,
                  chunk_draws: int = 100, async_writes: bool = True,
                  max_queued_writes: int = 64, writer_threads: int = 2,
-                 codec: Optional[str] = None):
+                 codec: Optional[str] = None, shuffle: bool = False):
         self.path = path
         self._writer = None
         if async_writes and not is_url_path(path):
@@ -167,7 +169,7 @@ class ZarrStorage(TraceStorage):
         self.root = ZarrGroup(path, attrs)
         mk = lambda name, total: _GroupBuffer(
             self.root.group(name), num_chains, total, chunk_draws,
-            writer=self._writer, codec=codec)
+            writer=self._writer, codec=codec, shuffle=shuffle)
         self.groups = {
             ("posterior", False): mk("posterior", num_draws),
             ("sample_stats", False): mk("sample_stats", num_draws),
@@ -398,10 +400,17 @@ class ZarrConfig(StorageConfig):
     # here is ~2x faster compression than zlib at similar ratio, but it must
     # not be a hard dependency: the read path decompresses in Python).
     codec: Optional[str] = None
+    # Blosc-style byte shuffle before compression (the reference's Blosc
+    # wrapper always shuffles, src/storage/zarr/common.rs:310-331): groups
+    # the slowly-varying exponent/sign bytes of float draws, improving the
+    # ratio on smooth chains.  Declared as the standard numcodecs "shuffle"
+    # filter, so zarr-python/ArviZ read it transparently.  Off by default:
+    # the Python-side byte transpose costs ~1 GB/s of host CPU per writer.
+    shuffle: bool = False
 
     def new_trace(self, settings, model, num_chains):
         return ZarrStorage(self.path, settings, model, num_chains,
                            self.chunk_draws, async_writes=self.async_writes,
                            max_queued_writes=self.max_queued_writes,
                            writer_threads=self.writer_threads,
-                           codec=self.codec)
+                           codec=self.codec, shuffle=self.shuffle)

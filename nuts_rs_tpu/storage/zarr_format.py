@@ -59,6 +59,21 @@ def _decompress(raw: bytes, codec: str) -> bytes:
     if codec == "zstd":
         return _zstd_or_raise().ZstdDecompressor().decompress(raw)
     return zlib.decompress(raw)
+
+
+def _byte_shuffle(raw: bytes, itemsize: int) -> bytes:
+    """numcodecs-``shuffle``-compatible byte transpose: output block j holds
+    byte j of every element.  The reference's Blosc-Zstd applies the same
+    shuffle pass before Zstd (src/storage/zarr/common.rs:310-331) — it groups
+    the slowly-varying exponent/sign bytes of float draws together, which
+    improves the compression ratio markedly on smooth chains."""
+    a = np.frombuffer(raw, np.uint8).reshape(-1, itemsize)
+    return np.ascontiguousarray(a.T).tobytes()
+
+
+def _byte_unshuffle(raw: bytes, itemsize: int) -> bytes:
+    a = np.frombuffer(raw, np.uint8).reshape(itemsize, -1)
+    return np.ascontiguousarray(a.T).tobytes()
 from typing import Any, Mapping, Optional, Sequence
 
 import numpy as np
@@ -162,10 +177,10 @@ class ZarrGroup:
               dims: Optional[Sequence[str]] = None,
               attrs: Optional[Mapping[str, Any]] = None,
               compress: bool = True, writer=None,
-              codec: str = "zlib") -> "ZarrArray":
+              codec: str = "zlib", shuffle: bool = False) -> "ZarrArray":
         return ZarrArray(_join(self.path, name), shape, chunks, dtype,
                          dims=dims, attrs=attrs, compress=compress,
-                         writer=writer, codec=codec)
+                         writer=writer, codec=codec, shuffle=shuffle)
 
     def write_full_array(self, name: str, data: np.ndarray,
                          dims: Optional[Sequence[str]] = None):
@@ -180,7 +195,7 @@ class ZarrGroup:
 
 class ZarrArray:
     def __init__(self, path, shape, chunks, dtype, dims=None, attrs=None,
-                 compress=True, writer=None, codec="zlib"):
+                 compress=True, writer=None, codec="zlib", shuffle=False):
         self.path = path
         self.writer = writer  # optional native AsyncTraceWriter
         self.shape = tuple(int(s) for s in shape)
@@ -192,6 +207,10 @@ class ZarrArray:
         # both ArviZ/zarr-python readable).  zstd compresses trace floats
         # ~2x faster at similar ratio (level 1).
         self.codec = codec
+        # Blosc-style byte shuffle before compression, declared as the
+        # standard numcodecs "shuffle" filter (zarr-python readable).
+        # Meaningless for 1-byte dtypes and uncompressed arrays.
+        self.shuffle = bool(shuffle) and compress and self.dtype.itemsize > 1
         _makedirs(path)
         self._write_meta()
         zattrs = dict(attrs or {})
@@ -212,7 +231,9 @@ class ZarrArray:
                            if self.compress else None),
             "fill_value": _fill_value(self.dtype),
             "order": "C",
-            "filters": None,
+            "filters": ([{"id": "shuffle",
+                          "elementsize": self.dtype.itemsize}]
+                        if self.shuffle else None),
         }
         with _open(_join(self.path, ".zarray"), "w") as f:
             json.dump(meta, f)
@@ -232,6 +253,8 @@ class ZarrArray:
             pad[tuple(slice(0, s) for s in data.shape)] = data
             data = pad
         raw = data.tobytes(order="C")
+        if self.shuffle:
+            raw = _byte_shuffle(raw, self.dtype.itemsize)
         name = ".".join(str(int(i)) for i in chunk_index)
         target = _join(self.path, name)
         if self.writer is not None:
@@ -276,6 +299,9 @@ def read_array(path: str) -> np.ndarray:
                 raw = _f.read()
             if meta["compressor"] is not None:
                 raw = _decompress(raw, meta["compressor"]["id"])
+            for filt in reversed(meta.get("filters") or []):
+                if filt.get("id") == "shuffle":
+                    raw = _byte_unshuffle(raw, filt["elementsize"])
             block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
             sel = tuple(slice(i * c, min((i + 1) * c, s))
                         for i, c, s in zip(idx, chunks, shape))
