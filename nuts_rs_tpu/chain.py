@@ -728,7 +728,9 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
         # thousands; the reference's sample_1000_1000 regime,
         # benches/sample.rs:195-198).  Lane padding rounds d up to 128.
         dim_pad = -(-dim // 128) * 128
-        fixed_ld = (6 * (D + 1) + 32) * dim_pad + 64 * 128
+        # + (D+1)^2 for the ld tier's cross-dot matrix carries (czs in
+        # kernels/nuts_pallas.py — (D+1) tensors of (D+1) scalars per chain).
+        fixed_ld = (6 * (D + 1) + 32) * dim_pad + (D + 1) ** 2 + 64 * 128
         for tier in (32, 16, 8):
             if (4 * tier * (fixed_ld + 2 * 8 * (dim_pad + 128))
                     + args_bytes <= 12_000_000):
@@ -968,7 +970,9 @@ def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
         # checkpoint stacks + estimator planes stay VMEM-resident at d in
         # the thousands).
         dim_pad = -(-dim // 128) * 128
-        fixed_ld = (6 * (D + 1) + 48) * dim_pad + 64 * 128
+        # + (D+1)^2 for the ld cross-dot matrix (see the posterior runner).
+        fixed_ld = ((6 * (D + 1) + 48) * dim_pad + (D + 1) ** 2
+                    + 64 * 128)
         for tier in (32, 16, 8):
             if (4 * tier * (fixed_ld + 2 * 8 * (dim_pad + 128))
                     + args_bytes <= 12_000_000):

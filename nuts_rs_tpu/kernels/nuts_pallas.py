@@ -127,6 +127,13 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
     D = opts.maxdepth
     MAX_ERR = opts.max_energy_error
     CHECK = bool(opts.check_turning)
+    # Large-d (dim-on-lanes) only: maintain the (D+1)x(D+1) cross-dot matrix
+    # czs[i][j] = csum(lz[i]*lv[j]) incrementally so the U-turn boundary
+    # level reads scalar-sized lookups instead of 4 full-stack [B,d] gather
+    # passes per iteration.  At small d (cl tier) the scalar bookkeeping
+    # costs more than the vector passes it saves, so cl keeps the direct
+    # gathers (BASELINE.md round-5 measurement).
+    USE_CZ = LD and CHECK
 
     salt_counter = [0]
 
@@ -317,6 +324,9 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             mv=jnp.zeros((D + 1,) + VS, f32),
             bm=jnp.zeros((D + 1,) + SS, f32),
         )
+        if USE_CZ:
+            for _i in range(D + 1):
+                carry[f"cz{_i}"] = jnp.zeros((D + 1,) + SS, f32)
 
         def body(c):
             it_box[0] = c["it"]
@@ -376,6 +386,7 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             mz = jnp.where(mask_m, z1[None], c["mz"])
             mv = jnp.where(mask_m, v2[None], c["mv"])
             bm = jnp.where(mask_m, d1, c["bm"])
+            czs = [c[f"cz{i}"] for i in range(D + 1)] if USE_CZ else None
 
             # ---- U-turn checks ----------------------------------------
             # Static unroll over the D levels with 3-D tensors only: Mosaic
@@ -413,10 +424,41 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 zv2 = csum3(lz * v2[None])    # csum(lz[i] * v2)
                 m1 = csum3(z1[None] * mv)     # csum(z1 * mv[i])
                 m2 = csum3(mz * v2[None])     # csum(mz[i] * v2)
-                # adjacent-row cross dots for the static-level t3 (index
-                # [j-1] holds the (lz[j-1], lv[j]) pair)
-                adj_bzav = csum3(lz[:-1] * lv[1:])   # csum(lz[j-1]*lv[j])
-                adj_azbv = csum3(lz[1:] * lv[:-1])   # csum(lz[j]*lv[j-1])
+                if USE_CZ:
+                    # Incrementally-maintained cross-dot matrix (round-5
+                    # large-d lever): czs[i][j] == csum(lz[i] * lv[j]) at all
+                    # times.  When the one-hot write lands in row r, row r of
+                    # the matrix is exactly z1v (lz[r] is now z1) and column
+                    # r is exactly zv2 (lv[r] is now v2) — both already
+                    # computed above — so maintenance costs two masked
+                    # [D+1]+SS writes per i (scalar-sized), and BOTH the
+                    # adjacent-row t3 dots and the boundary-level t3d dots
+                    # become lookups instead of ~4 full-stack [B,d] gather
+                    # passes per iteration.  Cell (r, r) is d1 via either
+                    # update (z1v[r] == zv2[r] == csum(z1*v2)).
+                    rl2 = row_l[0]                       # [SS]
+                    czs = [jnp.where(rl2 == i, z1v,
+                                     jnp.where(mask_l, zv2[i], czs[i]))
+                           for i in range(D + 1)]
+
+                    def cz_at(ri, rj):
+                        """CZ[ri, rj] for per-chain dynamic rows — [SS]."""
+                        ri2 = ri[0]
+                        out = jnp.zeros(SS, f32)
+                        for i in range(D + 1):
+                            out = out + jnp.where(
+                                ri2 == i, row_gather1(czs[i], rj), 0.0)
+                        return out
+
+                    adj_bzav_at = lambda j: czs[j - 1][j]  # csum(lz[j-1]*lv[j])
+                    adj_azbv_at = lambda j: czs[j][j - 1]  # csum(lz[j]*lv[j-1])
+                else:
+                    # adjacent-row cross dots for the static-level t3 (index
+                    # [j-1] holds the (lz[j-1], lv[j]) pair)
+                    adj_bzav = csum3(lz[:-1] * lv[1:])   # csum(lz[j-1]*lv[j])
+                    adj_azbv = csum3(lz[1:] * lv[:-1])   # csum(lz[j]*lv[j-1])
+                    adj_bzav_at = lambda j: adj_bzav[j - 1]
+                    adj_azbv_at = lambda j: adj_azbv[j - 1]
 
                 for j in range(1, D + 1):
                     # static level j (active iff j < tzn): ra == j, rb == j-1
@@ -427,8 +469,8 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                     else:
                         t2 = ((dirf * (m1[j] - bm[j]) < 0)
                               | (dirf * (d1 - m2[j]) < 0))
-                        t3 = ((dirf * (adj_bzav[j - 1] - bl[j]) < 0)
-                              | (dirf * (bl[j - 1] - adj_azbv[j - 1]) < 0))
+                        t3 = ((dirf * (adj_bzav_at(j) - bl[j]) < 0)
+                              | (dirf * (bl[j - 1] - adj_azbv_at(j)) < 0))
                         tj = t1 | t2 | t3
                     turning_int = turning_int | ((j < tzn_b) & tj)
 
@@ -443,13 +485,18 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 t2d = ((dirf * (row_gather1(m1, row_t)
                                 - row_gather1(bm, row_t)) < 0)
                        | (dirf * (d1 - row_gather1(m2, row_t)) < 0))
-                a_z = row_gather(lz, ra)
-                a_v = row_gather(lv, ra)
-                b_z = row_gather(lz, row_b)
-                b_v = row_gather(lv, row_b)
-                t3d = ((dirf * (csum(b_z * a_v) - a_b) < 0)
-                       | (dirf * (row_gather1(bl, row_b)
-                                  - csum(a_z * b_v)) < 0))
+                if USE_CZ:
+                    t3d = ((dirf * (cz_at(row_b, ra) - a_b) < 0)
+                           | (dirf * (row_gather1(bl, row_b)
+                                      - cz_at(ra, row_b)) < 0))
+                else:
+                    a_z = row_gather(lz, ra)
+                    a_v = row_gather(lv, ra)
+                    b_z = row_gather(lz, row_b)
+                    b_v = row_gather(lv, row_b)
+                    t3d = ((dirf * (csum(b_z * a_v) - a_b) < 0)
+                           | (dirf * (row_gather1(bl, row_b)
+                                      - csum(a_z * b_v)) < 0))
                 turning_int = turning_int | ((tzn_b >= 1) & t1d) | (
                     (tzn_b >= 2) & (t2d | t3d))
             else:
@@ -580,6 +627,9 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 mx_err=nxt(zb, mx_err, mx_err),
                 lz=lz, lv=lv, bl=bl, mz=mz, mv=mv, bm=bm,
             )
+            if USE_CZ:
+                for _i in range(D + 1):
+                    c2[f"cz{_i}"] = czs[_i]
             return c2
 
         def cond(c):
@@ -845,6 +895,8 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
     D = opts.maxdepth
     MAX_ERR = opts.max_energy_error
     CHECK = bool(opts.check_turning)
+    # Same large-d cross-dot-matrix lever as make_kernel (see its comment).
+    USE_CZ = LD and CHECK
     da = sset.dual_average
     jitter = sset.jitter
     f32 = jnp.float32
@@ -983,6 +1035,9 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 mv=jnp.zeros((D + 1,) + VS, f32),
                 bm=jnp.zeros((D + 1,) + SS, f32),
             )
+            if USE_CZ:
+                for _i in range(D + 1):
+                    tree[f"cz{_i}"] = jnp.zeros((D + 1,) + SS, f32)
 
             def tree_body(c):
                 it_box[0] = c["it"]
@@ -1041,6 +1096,8 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 mz = jnp.where(mask_m, z1[None], c["mz"])
                 mv = jnp.where(mask_m, v2[None], c["mv"])
                 bm = jnp.where(mask_m, d1, c["bm"])
+                czs = ([c[f"cz{i}"] for i in range(D + 1)]
+                       if USE_CZ else None)
 
                 if CHECK:
                     turning_int = jnp.zeros(SS, bool)
@@ -1076,8 +1133,31 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                     zv2 = csum3(lz * v2[None])
                     m1 = csum3(z1[None] * mv)
                     m2 = csum3(mz * v2[None])
-                    adj_bzav = csum3(lz[:-1] * lv[1:])
-                    adj_azbv = csum3(lz[1:] * lv[:-1])
+                    if USE_CZ:
+                        # Cross-dot matrix czs[i][j] == csum(lz[i]*lv[j]),
+                        # maintained from the z1v/zv2 passes exactly as in
+                        # the posterior kernel (see its comment); updates
+                        # gate on `act` like the stack writes above.
+                        rl2 = row_l[0]
+                        czs = [jnp.where(act & (rl2 == i), z1v,
+                                         jnp.where(mask_l, zv2[i], czs[i]))
+                               for i in range(D + 1)]
+
+                        def cz_at(ri, rj):
+                            ri2 = ri[0]
+                            out = jnp.zeros(SS, f32)
+                            for i in range(D + 1):
+                                out = out + jnp.where(
+                                    ri2 == i, row_gather1(czs[i], rj), 0.0)
+                            return out
+
+                        adj_bzav_at = lambda j: czs[j - 1][j]
+                        adj_azbv_at = lambda j: czs[j][j - 1]
+                    else:
+                        adj_bzav = csum3(lz[:-1] * lv[1:])
+                        adj_azbv = csum3(lz[1:] * lv[:-1])
+                        adj_bzav_at = lambda j: adj_bzav[j - 1]
+                        adj_azbv_at = lambda j: adj_azbv[j - 1]
 
                     for j in range(1, D + 1):
                         t1 = ((dirf * (z1v[j] - bl[j]) < 0)
@@ -1087,8 +1167,8 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                         else:
                             t2 = ((dirf * (m1[j] - bm[j]) < 0)
                                   | (dirf * (d1 - m2[j]) < 0))
-                            t3 = ((dirf * (adj_bzav[j - 1] - bl[j]) < 0)
-                                  | (dirf * (bl[j - 1] - adj_azbv[j - 1]) < 0))
+                            t3 = ((dirf * (adj_bzav_at(j) - bl[j]) < 0)
+                                  | (dirf * (bl[j - 1] - adj_azbv_at(j)) < 0))
                             tj = t1 | t2 | t3
                         turning_int = turning_int | ((j < tzn) & tj)
 
@@ -1102,13 +1182,18 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                     t2d = ((dirf * (row_gather1(m1, row_t)
                                     - row_gather1(bm, row_t)) < 0)
                            | (dirf * (d1 - row_gather1(m2, row_t)) < 0))
-                    a_z = row_gather(lz, ra)
-                    a_v = row_gather(lv, ra)
-                    b_z = row_gather(lz, row_b)
-                    b_v = row_gather(lv, row_b)
-                    t3d = ((dirf * (csum(b_z * a_v) - a_b) < 0)
-                           | (dirf * (row_gather1(bl, row_b)
-                                      - csum(a_z * b_v)) < 0))
+                    if USE_CZ:
+                        t3d = ((dirf * (cz_at(row_b, ra) - a_b) < 0)
+                               | (dirf * (row_gather1(bl, row_b)
+                                          - cz_at(ra, row_b)) < 0))
+                    else:
+                        a_z = row_gather(lz, ra)
+                        a_v = row_gather(lv, ra)
+                        b_z = row_gather(lz, row_b)
+                        b_v = row_gather(lv, row_b)
+                        t3d = ((dirf * (csum(b_z * a_v) - a_b) < 0)
+                               | (dirf * (row_gather1(bl, row_b)
+                                          - csum(a_z * b_v)) < 0))
                     turning_int = turning_int | ((tzn >= 1) & t1d) | (
                         (tzn >= 2) & (t2d | t3d))
                     turning_int = turning_int & act
@@ -1199,6 +1284,8 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                                         c["direction"]),
                     n_steps=n_steps, s_acc=s_acc, s_sym=s_sym, mx_err=mx_err,
                     lz=lz, lv=lv, bl=bl, mz=mz, mv=mv, bm=bm,
+                    **({f"cz{i}": czs[i] for i in range(D + 1)}
+                       if USE_CZ else {}),
                 )
 
             t = jax.lax.while_loop(lambda c: jnp.any(c["done"] == 0),
