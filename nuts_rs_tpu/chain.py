@@ -1289,3 +1289,191 @@ def make_pallas_mclmc_posterior_runner(model, strategy, config: ChainConfig,
         return state, stats
 
     return runner
+
+
+def make_pallas_mclmc_warmup_runner(model, strategy, config: ChainConfig,
+                                    mopts, base_seed: int):
+    """MCLMC warmup-phase runner on the fused Pallas engine.
+
+    Runs whole chunks of tuning draws inside one ``pallas_call`` per
+    chain-group with the fg/bg Welford estimators, window switches, and the
+    diagonal mass-matrix rule in-kernel (kernels/mclmc_pallas.py, warmup
+    section) — the MCLMC analog of :func:`make_pallas_warmup_runner`
+    (reference warmup loop: src/mclmc.rs:487-546 + adapt_strategy.rs).
+    MCLMC's step size is FIXED with per-draw jitter, so there is no
+    dual-averaging state and no step-size-reinit phase split.  Signature
+    matches the scan runners: ``(state, flags) -> (state, stats)``.
+    """
+    from .kernels.mclmc_pallas import (
+        MW_FLAG_RESAMPLE, MSCA_CNT_BG, MSCA_CNT_FG, MSCA_LOGDET, MSCA_TID,
+        NSCA_M, mclmc_pallas_warmup_run,
+    )
+    from .kernels.nuts_pallas import (
+        FLAG_DO_SWITCH, FLAG_DO_UPDATE, FLAG_UPDATE_EST, NFLAGS,
+    )
+
+    sset = config.step_size
+
+    if model.pallas_logp_grad is not None:
+        logp_grad_batched, pallas_args = model.pallas_logp_grad
+    elif model.pallas_spec is not None:
+        logp_fn_args, pallas_args = model.pallas_spec
+
+        def logp_grad_batched(q, *args):  # [d, B] -> ([B], [d, B])
+            f = lambda qq: logp_fn_args(qq, *args)
+            return jax.vmap(jax.value_and_grad(f), in_axes=1,
+                            out_axes=(0, 1))(q)
+    elif model.pallas_stream is not None:
+        return None
+    else:
+        pallas_args = ()
+
+        def logp_grad_batched(q):
+            return jax.vmap(model.logp_and_grad, in_axes=1, out_axes=(0, 1))(q)
+
+    interpret = jax.default_backend() != "tpu"
+    use_grad_based = config.use_grad_based_estimate
+
+    # VMEM budget: the MCLMC carry (~12 d-vectors) + est planes in/out
+    # (2*8*d) + outer q/g/stds/mean copies; outputs K*(d + 9) double-buffered.
+    dim = model.dim
+    args_bytes = 4 * sum(int(np.prod(a.shape)) for a in pallas_args)
+    fixed = 48 * dim + 128
+    block = None
+    for tier in (256, 128):
+        if 4 * tier * (fixed + 2 * 8 * (dim + 9)) + args_bytes <= 12_000_000:
+            block = tier
+            break
+    if block is None:
+        return None
+    budget_words = (13_000_000 - args_bytes) // (4 * block)
+    MAX_K = int(max(8, min(64, (budget_words - fixed) // (2 * (dim + 9)))))
+
+    def runner(state: ChainState, flags):
+        k = flags["is_tuning"].shape[0]
+        dtype = state.pt.q.dtype
+
+        flag_cols = jnp.zeros((k, NFLAGS), jnp.int32)
+        for col, name in [(FLAG_UPDATE_EST, "update_estimators"),
+                          (FLAG_DO_UPDATE, "do_update"),
+                          (FLAG_DO_SWITCH, "do_switch"),
+                          (MW_FLAG_RESAMPLE, "resample_velocity")]:
+            flag_cols = flag_cols.at[:, col].set(
+                flags[name].astype(jnp.int32))
+
+        a = state.diag_adapt
+        est = jnp.stack([
+            a.draw.mean, a.draw.var_sum, a.grad.mean, a.grad.var_sum,
+            a.draw_bg.mean, a.draw_bg.var_sum, a.grad_bg.mean,
+            a.grad_bg.var_sum,
+        ], axis=1)
+        sca = jnp.zeros((state.pt.q.shape[0], NSCA_M), dtype)
+        for row, val in [
+            (MSCA_TID, state.transform.id.astype(dtype)),
+            (MSCA_LOGDET, state.transform.logdet),
+            (MSCA_CNT_FG, a.draw.count),
+            (MSCA_CNT_BG, a.draw_bg.count),
+        ]:
+            sca = sca.at[:, row].set(val)
+
+        q_f, g_f, logp_f, v_f = (state.pt.q, state.pt.g, state.pt.logp,
+                                 state.pt.v)
+        stds_f, mean_f = state.transform.stds, state.transform.mean
+        est_f, sca_f = est, sca
+        dev_salt = jax.random.randint(
+            state.keys[0], (), 0, 2**31 - 1, dtype=jnp.int32)
+
+        draws_parts, out_parts = [], []
+        done = 0
+        while done < k:
+            kk = min(MAX_K, k - done)
+            seed = (jnp.int32(base_seed & 0x7FFFFFFF)
+                    ^ ((state.draw_idx + done)
+                       * jnp.int32(2654435761 & 0x7FFFFFFF))
+                    ^ dev_salt)
+            (q_f, g_f, logp_f, v_f, stds_f, mean_f, est_f, sca_f, dpart,
+             opart) = mclmc_pallas_warmup_run(
+                seed, flag_cols[done:done + kk], q_f, g_f, logp_f, v_f,
+                stds_f, mean_f, est_f, sca_f,
+                logp_grad_batched, mopts, sset, use_grad_based,
+                interpret=interpret, model_args=pallas_args, block=block)
+            draws_parts.append(dpart)
+            out_parts.append(opart)
+            done += kk
+        draws = (draws_parts[0] if len(draws_parts) == 1
+                 else jnp.concatenate(draws_parts, axis=1))
+        out = {key: (out_parts[0][key] if len(out_parts) == 1
+                     else jnp.concatenate([o[key] for o in out_parts], axis=1))
+               for key in out_parts[0] if key != "loop_iterations"}
+
+        q_f = q_f.astype(dtype)
+        g_f = g_f.astype(dtype)
+        v_f = v_f.astype(dtype)
+        stds_f = stds_f.astype(dtype)
+        mean_f = mean_f.astype(dtype)
+        est_f = est_f.astype(dtype)
+        sca_f = sca_f.astype(dtype)
+
+        transform = state.transform._replace(
+            stds=stds_f, mean=mean_f, inv_stds=1.0 / stds_f,
+            logdet=sca_f[:, MSCA_LOGDET],
+            id=sca_f[:, MSCA_TID].astype(jnp.int32))
+        rv = lambda m, v_, c: mm.RunningVariance(mean=m, var_sum=v_, count=c)
+        diag_adapt = mm.DiagAdaptState(
+            draw=rv(est_f[:, 0], est_f[:, 1], sca_f[:, MSCA_CNT_FG]),
+            grad=rv(est_f[:, 2], est_f[:, 3], sca_f[:, MSCA_CNT_FG]),
+            draw_bg=rv(est_f[:, 4], est_f[:, 5], sca_f[:, MSCA_CNT_BG]),
+            grad_bg=rv(est_f[:, 6], est_f[:, 7], sca_f[:, MSCA_CNT_BG]),
+        )
+        logp_f2 = logp_f.astype(dtype)
+        z_f = jax.vmap(to_transformed_)(transform, q_f)
+        zg_f = jax.vmap(grad_to_transformed_)(transform, g_f)
+        if mopts.kind is KineticKind.MICROCANONICAL:
+            ke_f = jnp.zeros_like(logp_f2)
+        else:
+            ke_f = 0.5 * jnp.sum(v_f * v_f, axis=-1)
+        pt = state.pt._replace(q=q_f, g=g_f, z=z_f, zg=zg_f, logp=logp_f2,
+                               v=v_f, ke=ke_f,
+                               logdet=sca_f[:, MSCA_LOGDET])
+        # Step for the next phase's first draw: the fixed value with a fresh
+        # jitter factor drawn from the chain keys (apply_jitter semantics) so
+        # the posterior phase starts from a reproducible checkpointed step.
+        step_next = jnp.full_like(logp_f2, float(sset.fixed_value))
+        if sset.jitter is not None:
+            kj = jax.vmap(lambda kc: jax.random.fold_in(
+                jax.random.fold_in(kc, 0x6A17), state.draw_idx + k))(
+                state.keys)
+            u = jax.vmap(lambda k_: jax.random.uniform(
+                k_, (), dtype, minval=1.0 - sset.jitter,
+                maxval=1.0 + sset.jitter))(kj)
+            step_next = step_next * u
+        state = state._replace(
+            pt=pt,
+            transform=transform,
+            diag_adapt=diag_adapt,
+            step=state.step._replace(step_size=step_next),
+            draw_idx=state.draw_idx + k,
+        )
+
+        def t(x):
+            return jnp.moveaxis(x, 0, 1)
+
+        e_change = t(out["energy_change"])
+        stats = {
+            "position": t(draws),
+            "diverging": t(out["diverging"] > 0.5),
+            "n_steps": t(out["n_steps"].astype(jnp.int32)),
+            "energy_change": e_change,
+            "log_weight": e_change,
+            "average_step_size": t(out["average_step_size"]),
+            "step_size": t(out["step_size"]),
+            "logp": t(out["logp"]),
+            "energy": t(out["energy"]),
+            "fisher_distance": t(out["fisher_distance"]),
+            "transformation_index": t(
+                out["transformation_index"].astype(jnp.int32)),
+            "tuning": jnp.ones((k, state.pt.q.shape[0]), bool),
+        }
+        return state, stats
+
+    return runner

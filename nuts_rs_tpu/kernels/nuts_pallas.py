@@ -134,6 +134,16 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
     # costs more than the vector passes it saves, so cl keeps the direct
     # gathers (BASELINE.md round-5 measurement).
     USE_CZ = LD and CHECK
+    # Emission experiment knob (round-5 A/B; see _emit below).
+    import os as _os
+
+    MASKED_EMIT = _os.environ.get("NUTS_PALLAS_MASKED_EMIT", "0") == "1"
+    # TEMPORARY ablation knob for cost attribution (wrong results; bench
+    # experiments only): "no_m" drops the m-stack dots, "no_static" drops
+    # all static-level dots, "no_boundary" drops the dynamic boundary level,
+    # "no_top" drops the top-level endpoint checks, "no_stacks" skips the
+    # checkpoint-stack writes entirely.
+    ABLATE = set(_os.environ.get("NUTS_PALLAS_ABLATE", "").split(","))
 
     salt_counter = [0]
 
@@ -380,12 +390,16 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             row_m = jnp.minimum(tzn + 1, D).reshape((1,) + SS)
             mask_l = rows_s == row_l
             mask_m = rows_s == row_m
-            lz = jnp.where(mask_l, z1[None], c["lz"])
-            lv = jnp.where(mask_l, v2[None], c["lv"])
-            bl = jnp.where(mask_l, d1, c["bl"])
-            mz = jnp.where(mask_m, z1[None], c["mz"])
-            mv = jnp.where(mask_m, v2[None], c["mv"])
-            bm = jnp.where(mask_m, d1, c["bm"])
+            if "no_stacks" in ABLATE:
+                lz, lv, bl = c["lz"], c["lv"], c["bl"]
+                mz, mv, bm = c["mz"], c["mv"], c["bm"]
+            else:
+                lz = jnp.where(mask_l, z1[None], c["lz"])
+                lv = jnp.where(mask_l, v2[None], c["lv"])
+                bl = jnp.where(mask_l, d1, c["bl"])
+                mz = jnp.where(mask_m, z1[None], c["mz"])
+                mv = jnp.where(mask_m, v2[None], c["mv"])
+                bm = jnp.where(mask_m, d1, c["bm"])
             czs = [c[f"cz{i}"] for i in range(D + 1)] if USE_CZ else None
 
             # ---- U-turn checks ----------------------------------------
@@ -420,10 +434,18 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                     m = rows_s == row
                     return jnp.sum(jnp.where(m, vec, 0.0), axis=0)
 
-                z1v = csum3(z1[None] * lv)    # csum(z1 * lv[i]) for all i
-                zv2 = csum3(lz * v2[None])    # csum(lz[i] * v2)
-                m1 = csum3(z1[None] * mv)     # csum(z1 * mv[i])
-                m2 = csum3(mz * v2[None])     # csum(mz[i] * v2)
+                if "no_zv" in ABLATE:
+                    z1v = jnp.zeros((D + 1,) + SS, f32)
+                    zv2 = jnp.zeros((D + 1,) + SS, f32)
+                else:
+                    z1v = csum3(z1[None] * lv)  # csum(z1 * lv[i]) for all i
+                    zv2 = csum3(lz * v2[None])  # csum(lz[i] * v2)
+                if "no_m" in ABLATE:
+                    m1 = jnp.zeros((D + 1,) + SS, f32)
+                    m2 = jnp.zeros((D + 1,) + SS, f32)
+                else:
+                    m1 = csum3(z1[None] * mv)     # csum(z1 * mv[i])
+                    m2 = csum3(mz * v2[None])     # csum(mz[i] * v2)
                 if USE_CZ:
                     # Incrementally-maintained cross-dot matrix (round-5
                     # large-d lever): czs[i][j] == csum(lz[i] * lv[j]) at all
@@ -460,45 +482,49 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                     adj_bzav_at = lambda j: adj_bzav[j - 1]
                     adj_azbv_at = lambda j: adj_azbv[j - 1]
 
-                for j in range(1, D + 1):
-                    # static level j (active iff j < tzn): ra == j, rb == j-1
-                    t1 = ((dirf * (z1v[j] - bl[j]) < 0)
-                          | (dirf * (d1 - zv2[j]) < 0))
-                    if j < 2:
-                        tj = t1
-                    else:
-                        t2 = ((dirf * (m1[j] - bm[j]) < 0)
-                              | (dirf * (d1 - m2[j]) < 0))
-                        t3 = ((dirf * (adj_bzav_at(j) - bl[j]) < 0)
-                              | (dirf * (bl[j - 1] - adj_azbv_at(j)) < 0))
-                        tj = t1 | t2 | t3
-                    turning_int = turning_int | ((j < tzn_b) & tj)
+                if "no_static" not in ABLATE:
+                    for j in range(1, D + 1):
+                        # static level j (active iff j < tzn):
+                        # ra == j, rb == j-1
+                        t1 = ((dirf * (z1v[j] - bl[j]) < 0)
+                              | (dirf * (d1 - zv2[j]) < 0))
+                        if j < 2:
+                            tj = t1
+                        else:
+                            t2 = ((dirf * (m1[j] - bm[j]) < 0)
+                                  | (dirf * (d1 - m2[j]) < 0))
+                            t3 = ((dirf * (adj_bzav_at(j) - bl[j]) < 0)
+                                  | (dirf * (bl[j - 1]
+                                             - adj_azbv_at(j)) < 0))
+                            tj = t1 | t2 | t3
+                        turning_int = turning_int | ((j < tzn_b) & tj)
 
-                # boundary level j == tzn (the only dynamic-row level)
-                s_a = c["leaf"] + 1 - jnp.left_shift(1, tzn_b)
-                ra = jnp.minimum(_tz(s_a, D), D).reshape((1,) + SS)
-                a_b = row_gather1(bl, ra)
-                t1d = ((dirf * (row_gather1(z1v, ra) - a_b) < 0)
-                       | (dirf * (d1 - row_gather1(zv2, ra)) < 0))
-                row_t = tzn_b.reshape((1,) + SS)           # mid row == tzn
-                row_b = (tzn_b - 1).reshape((1,) + SS)     # rb == tzn - 1
-                t2d = ((dirf * (row_gather1(m1, row_t)
-                                - row_gather1(bm, row_t)) < 0)
-                       | (dirf * (d1 - row_gather1(m2, row_t)) < 0))
-                if USE_CZ:
-                    t3d = ((dirf * (cz_at(row_b, ra) - a_b) < 0)
-                           | (dirf * (row_gather1(bl, row_b)
-                                      - cz_at(ra, row_b)) < 0))
-                else:
-                    a_z = row_gather(lz, ra)
-                    a_v = row_gather(lv, ra)
-                    b_z = row_gather(lz, row_b)
-                    b_v = row_gather(lv, row_b)
-                    t3d = ((dirf * (csum(b_z * a_v) - a_b) < 0)
-                           | (dirf * (row_gather1(bl, row_b)
-                                      - csum(a_z * b_v)) < 0))
-                turning_int = turning_int | ((tzn_b >= 1) & t1d) | (
-                    (tzn_b >= 2) & (t2d | t3d))
+                if "no_boundary" not in ABLATE:
+                    # boundary level j == tzn (the only dynamic-row level)
+                    s_a = c["leaf"] + 1 - jnp.left_shift(1, tzn_b)
+                    ra = jnp.minimum(_tz(s_a, D), D).reshape((1,) + SS)
+                    a_b = row_gather1(bl, ra)
+                    t1d = ((dirf * (row_gather1(z1v, ra) - a_b) < 0)
+                           | (dirf * (d1 - row_gather1(zv2, ra)) < 0))
+                    row_t = tzn_b.reshape((1,) + SS)       # mid row == tzn
+                    row_b = (tzn_b - 1).reshape((1,) + SS)  # rb == tzn - 1
+                    t2d = ((dirf * (row_gather1(m1, row_t)
+                                    - row_gather1(bm, row_t)) < 0)
+                           | (dirf * (d1 - row_gather1(m2, row_t)) < 0))
+                    if USE_CZ:
+                        t3d = ((dirf * (cz_at(row_b, ra) - a_b) < 0)
+                               | (dirf * (row_gather1(bl, row_b)
+                                          - cz_at(ra, row_b)) < 0))
+                    else:
+                        a_z = row_gather(lz, ra)
+                        a_v = row_gather(lv, ra)
+                        b_z = row_gather(lz, row_b)
+                        b_v = row_gather(lv, row_b)
+                        t3d = ((dirf * (csum(b_z * a_v) - a_b) < 0)
+                               | (dirf * (row_gather1(bl, row_b)
+                                          - csum(a_z * b_v)) < 0))
+                    turning_int = turning_int | ((tzn_b >= 1) & t1d) | (
+                        (tzn_b >= 2) & (t2d | t3d))
             else:
                 turning_int = jnp.zeros(SS, bool)
 
@@ -509,7 +535,7 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
             far_v = jnp.where(fwd, c["m_v"], c["p_v"])
             near_z = jnp.where(fwd, c["p_z"], c["m_z"])
             near_v = jnp.where(fwd, c["p_v"], c["m_v"])
-            if CHECK:
+            if CHECK and "no_top" not in ABLATE:
                 far_zv = csum(far_z * far_v)
                 t_out = ((dirf * (csum(z1 * far_v) - far_zv) < 0)
                          | (dirf * (d1 - csum(far_z * v2)) < 0))
@@ -568,7 +594,6 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 fisher = csum(jnp.square(dm_z + dm_zg))
                 krows = jax.lax.broadcasted_iota(jnp.int32, (K,) + SS, 0)
                 kmask = fin[None] & (krows == c["dc"].reshape((1,) + SS))
-                out_q_ref[:] = jnp.where(kmask, dm_q[None], out_q_ref[:])
                 stats = jnp.concatenate([
                     depth.astype(f32), diverged.astype(f32),
                     n_steps.astype(f32), s_acc, s_sym, mx_err,
@@ -579,8 +604,23 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                     # turned on its final merge did not exit via maxdepth.
                     ((depth >= D) & ~turned & ~diverged).astype(f32),
                 ], axis=1 if LD else 0)  # [B, NSTATS] (ld) / [NSTATS, B] (cl)
-                out_stats_ref[:] = jnp.where(kmask, stats[None],
-                                             out_stats_ref[:])
+                if MASKED_EMIT:
+                    # Predicated store: the masked write touches the [K, ...]
+                    # blocks WITHOUT the read leg of the read-modify-write
+                    # `where` — emission is the dominant per-iteration VMEM
+                    # traffic, so halving it matters at large K*d.
+                    pltpu.store(
+                        out_q_ref,
+                        jnp.broadcast_to(dm_q[None], out_q_ref.shape),
+                        mask=jnp.broadcast_to(kmask, out_q_ref.shape))
+                    pltpu.store(
+                        out_stats_ref,
+                        jnp.broadcast_to(stats[None], out_stats_ref.shape),
+                        mask=jnp.broadcast_to(kmask, out_stats_ref.shape))
+                else:
+                    out_q_ref[:] = jnp.where(kmask, dm_q[None], out_q_ref[:])
+                    out_stats_ref[:] = jnp.where(kmask, stats[None],
+                                                 out_stats_ref[:])
 
             # ---- next state: fresh draw (fin) / new doubling / same subtree
             new_dir = rand_dir()
@@ -918,10 +958,16 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
         def csum(x):
             """Per-chain contraction along the layout's reduction axis."""
             return jnp.sum(x, 1 if LD else 0, keepdims=True)
+        # Logical program id: grid position + the launcher's base offset
+        # (seed_ref[0, 1]).  The offset keeps RNG streams identical when the
+        # launcher splits chain groups into separate grid=1 pallas_calls —
+        # the workaround for the Mosaic compile crash on multi-program grids
+        # with VMEM-replicated model-arg windows (BASELINE.md round 5).
+        pid = pl.program_id(0) + seed_ref[0, 1]
         if use_hw_prng:
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+            pltpu.prng_seed(seed_ref[0, 0] + pid)
         seed_u32 = (seed_ref[0, 0].astype(jnp.uint32)
-                    + jnp.uint32(0x51ED2701) * pl.program_id(0).astype(jnp.uint32))
+                    + jnp.uint32(0x51ED2701) * pid.astype(jnp.uint32))
         it_box = [jnp.uint32(0)]
 
         def _uniform(shape):
@@ -1453,6 +1499,7 @@ def nuts_pallas_warmup_run(
     interpret: bool = False,
     model_args: tuple = (),
     layout: str = "cl",
+    _split=None,
 ):
     """Launch the fused warmup kernel for K = flags.shape[0] draws.
 
@@ -1464,8 +1511,38 @@ def nuts_pallas_warmup_run(
     K = flags.shape[0]
     B = min(block, C)
     assert C % B == 0, (C, B)
-    grid = (C // B,)
     LD = layout == "ld"
+
+    # Multi-program grids with VMEM-replicated model-arg windows crash the
+    # Mosaic compile of THIS kernel (posterior is unaffected; measured on
+    # v5e round 5: GLM warmup fails at any grid >= 2, compiles at grid=1).
+    # Workaround: launch each chain group as its own grid=1 pallas_call,
+    # passing the group index as the kernel's program-id base so the RNG
+    # streams are bit-identical to the multi-program launch.
+    # ``_split``: None = auto (split when model args force it), False =
+    # force the multi-program grid (interpret-mode tests pin split == grid).
+    if _split is None:
+        _split = len(model_args) > 0
+    if _split and C > B:
+        outs = []
+        for gi in range(C // B):
+            sl = slice(gi * B, (gi + 1) * B)
+            outs.append(nuts_pallas_warmup_run(
+                (seed, gi), flags, q[sl], g[sl], logp[sl], stds[sl],
+                mean[sl], est[sl], sca[sl], logp_grad_batched, opts, sset,
+                use_grad_based, block=B, interpret=interpret,
+                model_args=model_args, layout=layout))
+        cat = lambda idx: jnp.concatenate([o[idx] for o in outs], axis=0)
+        stats_out = {k: jnp.concatenate([o[8][k] for o in outs], axis=0)
+                     for k in outs[0][8]}
+        return (cat(0), cat(1), cat(2), cat(3), cat(4), cat(5), cat(6),
+                cat(7), stats_out)
+    grid = (C // B,)
+
+    if isinstance(seed, tuple):
+        seed, pid_base = seed
+    else:
+        pid_base = 0
 
     if LD:
         def vec(x):
@@ -1492,7 +1569,9 @@ def nuts_pallas_warmup_run(
 
     q_t, g_t, stds_t, mean_t = vec(q), vec(g), vec(stds), vec(mean)
     logp_t = sca2(logp)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32).reshape(()),
+                          jnp.asarray(pid_base, jnp.int32).reshape(())]
+                         ).reshape(1, 2)
 
     model_args = tuple(jnp.asarray(a, jnp.float32) for a in model_args)
     kernel = make_warmup_kernel(
@@ -1551,7 +1630,7 @@ def nuts_pallas_warmup_run(
             vspec(1),
         )
     in_specs = [
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((K, NFLAGS), lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
         vspec(d), vspec(d), vspec(1), vspec(d), vspec(d), e3,

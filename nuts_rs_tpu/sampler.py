@@ -461,6 +461,32 @@ class MclmcSettings:
             if lo >= self.num_tune:
                 continue
             phases.append((lo, min(hi, self.num_tune), r))
+        # Fused warmup (kernels/mclmc_pallas.py, warmup section): whole
+        # chunks of tuning draws per pallas_call with the diag-adaptation
+        # machinery in-kernel — MCLMC's one remaining XLA-path phase
+        # (round-4 verdict: tune 1.94 s > sample 1.54 s at d=10).  MCLMC's
+        # FIXED step needs no init-search re-runs, so phases split only at
+        # the Euclidean -> Microcanonical trajectory switch.
+        if self.mass_matrix == "diag":
+            from .chain import make_pallas_mclmc_warmup_runner
+
+            fused_warm = []
+            for lo, hi, _ in phases:
+                kind = (MclmcTrajectoryKind.EUCLIDEAN
+                        if (self.switch_draw is not None
+                            and hi <= self.switch_draw)
+                        else (self.trajectory_kind
+                              if self.switch_draw is None
+                              else MclmcTrajectoryKind.MICROCANONICAL))
+                w = make_pallas_mclmc_warmup_runner(
+                    model, strategy, config, self._mclmc_options(kind),
+                    base_seed=self.seed)
+                if w is None:
+                    fused_warm = None
+                    break
+                fused_warm.append((lo, hi, w))
+            if fused_warm is not None:
+                phases = fused_warm
         phases.append((self.num_tune, total, post_runner))
         return phases
 

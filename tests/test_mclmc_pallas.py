@@ -340,3 +340,59 @@ def test_mclmc_pallas_demotion_warns():
                                        store_gradient=True))
     msgs = [str(x.message) for x in w if "pallas" in str(x.message)]
     assert any("store_gradient" in m for m in msgs)
+
+
+def test_mclmc_fused_warmup_matches_xla_schedule_and_moments():
+    """The fused MCLMC warmup engine (kernels/mclmc_pallas.py warmup
+    section; reference warmup loop src/mclmc.rs:487-546) must follow the
+    SAME deterministic adaptation schedule as the XLA path — the
+    transformation_index trajectory is RNG-independent so it matches
+    exactly — and produce equivalent adapted geometry and posterior
+    moments (streams differ: hardware/murmur3 vs threefry)."""
+    model = gaussian.normal_logp(5, mu=2.0)
+    mk = lambda pk: nt.Sampler(model, nt.DiagMclmcSettings(
+        num_tune=120, num_draws=250, num_chains=8, seed=11,
+        posterior_kernel=pk), chunk_size=100)
+
+    s_p = mk("pallas")
+    # the warmup phases must be the fused runner, split at the trajectory
+    # switch (0.3 * num_tune = 36), not the XLA scan
+    assert len(s_p._phase_runners) == 3
+    assert s_p._phase_runners[0][:2] == (0, 36)
+    assert s_p._phase_runners[1][:2] == (36, 120)
+
+    t_p = s_p.run()
+    t_x = mk("sync").run()
+
+    tid_p = np.asarray(t_p.warmup_sample_stats["transformation_index"])
+    tid_x = np.asarray(t_x.warmup_sample_stats["transformation_index"])
+    np.testing.assert_array_equal(tid_p, tid_x)
+
+    for t in (t_p, t_x):
+        pos = np.asarray(t.posterior["position"]).astype(np.float64)
+        assert abs(pos.mean() - 2.0) < 0.15
+        assert abs(pos.std() - 1.0) < 0.2
+        assert not np.asarray(t.sample_stats["diverging"]).any()
+
+    # warmup stats surface matches the XLA phase's schema exactly
+    assert set(t_p.warmup_sample_stats) == set(t_x.warmup_sample_stats)
+
+
+def test_mclmc_fused_warmup_reproducible_per_seed_and_chunking():
+    """Same (seed, chunking) -> bit-identical runs; a different seed gives
+    different draws (the fused engines' documented RNG contract: streams
+    are reproducible per (seed, chunking), kernels/nuts_pallas.py)."""
+    model = gaussian.normal_logp(4, mu=0.0)
+    S = lambda seed=5: nt.DiagMclmcSettings(
+        num_tune=60, num_draws=40, num_chains=8, seed=seed,
+        posterior_kernel="pallas")
+    t1 = nt.Sampler(model, S(), chunk_size=25).run()
+    t2 = nt.Sampler(model, S(), chunk_size=25).run()
+    np.testing.assert_array_equal(
+        np.asarray(t1.warmup_posterior["position"]),
+        np.asarray(t2.warmup_posterior["position"]))
+    np.testing.assert_array_equal(np.asarray(t1.posterior["position"]),
+                                  np.asarray(t2.posterior["position"]))
+    t3 = nt.Sampler(model, S(seed=6), chunk_size=25).run()
+    assert not np.array_equal(np.asarray(t3.posterior["position"]),
+                              np.asarray(t1.posterior["position"]))

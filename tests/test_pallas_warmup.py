@@ -87,3 +87,41 @@ def test_pallas_warmup_correlated_target():
     flat = pos.reshape(-1, pos.shape[-1])
     np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=0.25)
     np.testing.assert_allclose(flat.std(axis=0), np.sqrt(1.5), atol=0.25)
+
+
+def test_warmup_group_split_matches_grid():
+    """The GLM warmup workaround (grid=1 pallas_call per chain group with a
+    program-id base, nuts_pallas_warmup_run) must be bit-identical to the
+    multi-program grid launch it replaces — same RNG streams, same draws,
+    same adaptation state.  (Round 5: multi-program grids with
+    VMEM-replicated model-arg windows crash the Mosaic compile on TPU;
+    interpret mode runs both, so the equivalence is pinned here.)"""
+    from nuts_rs_tpu.kernels.nuts import NutsOptions
+    from nuts_rs_tpu.kernels.nuts_pallas import nuts_pallas_warmup_run
+
+    model = gaussian.logistic_regression(n_data=64, dim=6, seed=1)
+    fn, pallas_args = model.pallas_logp_grad
+    C, d, K = 16, 6, 5
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(C, d)), jnp.float32)
+    lp, g = jax.vmap(model.logp_and_grad)(q)
+    stds = jnp.ones((C, d), jnp.float32)
+    mean = jnp.zeros((C, d), jnp.float32)
+    est = jnp.zeros((C, 8, d), jnp.float32)
+    sca = jnp.zeros((C, 10), jnp.float32).at[:, 0].set(0.3)  # SCA_STEP
+    flags = jnp.ones((K, 8), jnp.int32)
+    opts = NutsOptions(maxdepth=4)
+    sset = nt.DiagNutsSettings(num_chains=C).step_size
+
+    kw = dict(block=8, interpret=True, model_args=pallas_args)
+    out_split = nuts_pallas_warmup_run(7, flags, q, g, lp, stds, mean, est,
+                                       sca, fn, opts, sset, True, **kw)
+    out_grid = nuts_pallas_warmup_run(7, flags, q, g, lp, stds, mean, est,
+                                      sca, fn, opts, sset, True,
+                                      _split=False, **kw)
+    for i in range(8):
+        np.testing.assert_array_equal(np.asarray(out_split[i]),
+                                      np.asarray(out_grid[i]), err_msg=str(i))
+    for k in out_grid[8]:
+        np.testing.assert_array_equal(np.asarray(out_split[8][k]),
+                                      np.asarray(out_grid[8][k]), err_msg=k)
