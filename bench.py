@@ -426,7 +426,12 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
         from nuts_rs_tpu.sampler import _schedule_chunk
 
         lo = settings.num_tune
-        hi = min(lo + min(200, num_draws), num_tune + num_draws)
+        # 400-draw probe: the ~30 ms fixed dispatch cost of a runner call
+        # halves the small-d rate at 200 draws (measured round 5: d=10
+        # 25M at 200 draws vs 40M at 400 — same single-dispatch
+        # methodology, better amortization); large-d configs are compute-
+        # dominated either way.
+        hi = min(lo + min(400, num_draws), num_tune + num_draws)
         runner = jax.jit(next(
             r for s_, e_, r in sampler._phase_runners if s_ <= lo < e_))
         # extra_flags adds runner-specific per-draw flags (e.g. MCLMC's
@@ -761,7 +766,9 @@ def run_bench():
     thin = dict(sampler_kw=thin_kw)
     side = [
         ("normal_d10", dict(attempts=2)),
-        ("mclmc_d10", {}),
+        # round 5: MCLMC warmup runs the fused engine too (mclmc_pallas.py
+        # warmup section), and the thin transfer knobs apply as everywhere
+        ("mclmc_d10", dict(**thin)),
         ("logreg_d100", dict(**thin)),
         ("logreg_big", dict(num_chains=256, attempts=1, **thin)),
         ("normal_d1000", dict(attempts=1, **thin)),

@@ -446,6 +446,7 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                 else:
                     m1 = csum3(z1[None] * mv)     # csum(z1 * mv[i])
                     m2 = csum3(mz * v2[None])     # csum(mz[i] * v2)
+                zero_row = jnp.zeros((1,) + SS, f32)
                 if USE_CZ:
                     # Incrementally-maintained cross-dot matrix (round-5
                     # large-d lever): czs[i][j] == csum(lz[i] * lv[j]) at all
@@ -462,59 +463,84 @@ def make_kernel(logp_grad_batched: Callable, dim: int, K: int,
                     czs = [jnp.where(rl2 == i, z1v,
                                      jnp.where(mask_l, zv2[i], czs[i]))
                            for i in range(D + 1)]
-
-                    def cz_at(ri, rj):
-                        """CZ[ri, rj] for per-chain dynamic rows — [SS]."""
-                        ri2 = ri[0]
-                        out = jnp.zeros(SS, f32)
-                        for i in range(D + 1):
-                            out = out + jnp.where(
-                                ri2 == i, row_gather1(czs[i], rj), 0.0)
-                        return out
-
-                    adj_bzav_at = lambda j: czs[j - 1][j]  # csum(lz[j-1]*lv[j])
-                    adj_azbv_at = lambda j: czs[j][j - 1]  # csum(lz[j]*lv[j-1])
+                    # adjacency vectors aligned by level j (row j holds the
+                    # level-j value; row 0 unused): static slices + concat,
+                    # no per-level scalar ops
+                    adj_bzav_v = jnp.concatenate(
+                        [zero_row] + [czs[j - 1][j:j + 1]
+                                      for j in range(1, D + 1)], axis=0)
+                    adj_azbv_v = jnp.concatenate(
+                        [zero_row] + [czs[j][j - 1:j]
+                                      for j in range(1, D + 1)], axis=0)
                 else:
-                    # adjacent-row cross dots for the static-level t3 (index
-                    # [j-1] holds the (lz[j-1], lv[j]) pair)
-                    adj_bzav = csum3(lz[:-1] * lv[1:])   # csum(lz[j-1]*lv[j])
-                    adj_azbv = csum3(lz[1:] * lv[:-1])   # csum(lz[j]*lv[j-1])
-                    adj_bzav_at = lambda j: adj_bzav[j - 1]
-                    adj_azbv_at = lambda j: adj_azbv[j - 1]
+                    # adjacent-row cross dots (index j holds the level-j
+                    # (lz[j-1], lv[j]) pair; row 0 unused)
+                    adj_bzav_v = jnp.concatenate(
+                        [zero_row, csum3(lz[:-1] * lv[1:])], axis=0)
+                    adj_azbv_v = jnp.concatenate(
+                        [zero_row, csum3(lz[1:] * lv[:-1])], axis=0)
 
                 if "no_static" not in ABLATE:
-                    for j in range(1, D + 1):
-                        # static level j (active iff j < tzn):
-                        # ra == j, rb == j-1
-                        t1 = ((dirf * (z1v[j] - bl[j]) < 0)
-                              | (dirf * (d1 - zv2[j]) < 0))
-                        if j < 2:
-                            tj = t1
-                        else:
-                            t2 = ((dirf * (m1[j] - bm[j]) < 0)
-                                  | (dirf * (d1 - m2[j]) < 0))
-                            t3 = ((dirf * (adj_bzav_at(j) - bl[j]) < 0)
-                                  | (dirf * (bl[j - 1]
-                                             - adj_azbv_at(j)) < 0))
-                            tj = t1 | t2 | t3
-                        turning_int = turning_int | ((j < tzn_b) & tj)
+                    # ---- static levels, VECTORIZED over the row axis ----
+                    # (round-5: the per-level Python unroll issued ~100
+                    # one-vreg ops per iteration; op-issue time dominated
+                    # the actual vector work — measured ablations,
+                    # BASELINE.md round-5 section).  Level j is active iff
+                    # 1 <= j < tzn; identical arithmetic per level, so the
+                    # whole ladder is D+1 rows of elementwise ops.
+                    dirb = dirf[None]
+                    d1b = d1[None]
+                    blm1 = jnp.concatenate([zero_row, bl[:-1]], axis=0)
+                    T1 = ((dirb * (z1v - bl) < 0)
+                          | (dirb * (d1b - zv2) < 0))
+                    T2 = ((dirb * (m1 - bm) < 0)
+                          | (dirb * (d1b - m2) < 0))
+                    T3 = ((dirb * (adj_bzav_v - bl) < 0)
+                          | (dirb * (blm1 - adj_azbv_v) < 0))
+                    TJ = T1 | ((rows_s >= 2) & (T2 | T3))
+                    act_lvl = (rows_s >= 1) & (rows_s < tzn_b[None])
+                    turning_int = turning_int | (jnp.sum(
+                        (act_lvl & TJ).astype(jnp.int32), axis=0) > 0)
 
                 if "no_boundary" not in ABLATE:
-                    # boundary level j == tzn (the only dynamic-row level)
+                    # ---- boundary level j == tzn (the only dynamic-row
+                    # level), with GROUPED flat gathers: stacking the scalar
+                    # rails lets one mask/select/static-slice-sum serve
+                    # three extractions (same masked-sum arithmetic as
+                    # row_gather1, so values are bit-identical) ----
                     s_a = c["leaf"] + 1 - jnp.left_shift(1, tzn_b)
                     ra = jnp.minimum(_tz(s_a, D), D).reshape((1,) + SS)
-                    a_b = row_gather1(bl, ra)
-                    t1d = ((dirf * (row_gather1(z1v, ra) - a_b) < 0)
-                           | (dirf * (d1 - row_gather1(zv2, ra)) < 0))
                     row_t = tzn_b.reshape((1,) + SS)       # mid row == tzn
                     row_b = (tzn_b - 1).reshape((1,) + SS)  # rb == tzn - 1
-                    t2d = ((dirf * (row_gather1(m1, row_t)
-                                    - row_gather1(bm, row_t)) < 0)
-                           | (dirf * (d1 - row_gather1(m2, row_t)) < 0))
+                    rows3 = jnp.concatenate([rows_s] * 3, axis=0)
+
+                    def gather3(va, vb, vc, row):
+                        g = jnp.concatenate([va, vb, vc], axis=0)
+                        sel = jnp.where(rows3 == row, g, 0.0)
+                        return (jnp.sum(sel[:D + 1], axis=0),
+                                jnp.sum(sel[D + 1:2 * (D + 1)], axis=0),
+                                jnp.sum(sel[2 * (D + 1):], axis=0))
+
+                    a_z1v, a_zv2, a_b = gather3(z1v, zv2, bl, ra)
+                    t1d = ((dirf * (a_z1v - a_b) < 0)
+                           | (dirf * (d1 - a_zv2) < 0))
+                    t_m1, t_bm, t_m2 = gather3(m1, bm, m2, row_t)
+                    t2d = ((dirf * (t_m1 - t_bm) < 0)
+                           | (dirf * (d1 - t_m2) < 0))
                     if USE_CZ:
+                        # flat CZ gather: one masked sum over the
+                        # (D+1)^2-row concatenation per lookup
+                        czf = jnp.concatenate(czs, axis=0)
+                        rows_cz = jax.lax.broadcasted_iota(
+                            jnp.int32, ((D + 1) * (D + 1),) + SS, 0)
+
+                        def cz_at(ri, rj):
+                            m = rows_cz == (ri * (D + 1) + rj)
+                            return jnp.sum(jnp.where(m, czf, 0.0), axis=0)
+
+                        b_bl = row_gather1(bl, row_b)
                         t3d = ((dirf * (cz_at(row_b, ra) - a_b) < 0)
-                               | (dirf * (row_gather1(bl, row_b)
-                                          - cz_at(ra, row_b)) < 0))
+                               | (dirf * (b_bl - cz_at(ra, row_b)) < 0))
                     else:
                         a_z = row_gather(lz, ra)
                         a_v = row_gather(lv, ra)
@@ -1179,6 +1205,7 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                     zv2 = csum3(lz * v2[None])
                     m1 = csum3(z1[None] * mv)
                     m2 = csum3(mz * v2[None])
+                    zero_row = jnp.zeros((1,) + SS, f32)
                     if USE_CZ:
                         # Cross-dot matrix czs[i][j] == csum(lz[i]*lv[j]),
                         # maintained from the z1v/zv2 passes exactly as in
@@ -1188,35 +1215,40 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                         czs = [jnp.where(act & (rl2 == i), z1v,
                                          jnp.where(mask_l, zv2[i], czs[i]))
                                for i in range(D + 1)]
-
-                        def cz_at(ri, rj):
-                            ri2 = ri[0]
-                            out = jnp.zeros(SS, f32)
-                            for i in range(D + 1):
-                                out = out + jnp.where(
-                                    ri2 == i, row_gather1(czs[i], rj), 0.0)
-                            return out
-
-                        adj_bzav_at = lambda j: czs[j - 1][j]
-                        adj_azbv_at = lambda j: czs[j][j - 1]
+                        adj_bzav_v = jnp.concatenate(
+                            [zero_row] + [czs[j - 1][j:j + 1]
+                                          for j in range(1, D + 1)], axis=0)
+                        adj_azbv_v = jnp.concatenate(
+                            [zero_row] + [czs[j][j - 1:j]
+                                          for j in range(1, D + 1)], axis=0)
                     else:
-                        adj_bzav = csum3(lz[:-1] * lv[1:])
-                        adj_azbv = csum3(lz[1:] * lv[:-1])
-                        adj_bzav_at = lambda j: adj_bzav[j - 1]
-                        adj_azbv_at = lambda j: adj_azbv[j - 1]
+                        adj_bzav_v = jnp.concatenate(
+                            [zero_row, csum3(lz[:-1] * lv[1:])], axis=0)
+                        adj_azbv_v = jnp.concatenate(
+                            [zero_row, csum3(lz[1:] * lv[:-1])], axis=0)
 
-                    for j in range(1, D + 1):
-                        t1 = ((dirf * (z1v[j] - bl[j]) < 0)
-                              | (dirf * (d1 - zv2[j]) < 0))
-                        if j < 2:
-                            tj = t1
-                        else:
-                            t2 = ((dirf * (m1[j] - bm[j]) < 0)
-                                  | (dirf * (d1 - m2[j]) < 0))
-                            t3 = ((dirf * (adj_bzav_at(j) - bl[j]) < 0)
-                                  | (dirf * (bl[j - 1] - adj_azbv_at(j)) < 0))
-                            tj = t1 | t2 | t3
-                        turning_int = turning_int | ((j < tzn) & tj)
+                    # static levels, vectorized over the row axis (see the
+                    # posterior kernel's comment — identical arithmetic)
+                    dirb = dirf[None]
+                    d1b = d1[None]
+                    blm1 = jnp.concatenate([zero_row, bl[:-1]], axis=0)
+                    T1 = ((dirb * (z1v - bl) < 0)
+                          | (dirb * (d1b - zv2) < 0))
+                    T2 = ((dirb * (m1 - bm) < 0)
+                          | (dirb * (d1b - m2) < 0))
+                    T3 = ((dirb * (adj_bzav_v - bl) < 0)
+                          | (dirb * (blm1 - adj_azbv_v) < 0))
+                    TJ = T1 | ((rows_s >= 2) & (T2 | T3))
+                    act_lvl = (rows_s >= 1) & (rows_s < tzn[None])
+                    lvl_hit = jnp.zeros(SS, jnp.int32)
+                    for j in range(D + 1):
+                        # unrolled accumulate (the warmup kernel cannot
+                        # axis-0-reduce carried/offset layouts — see
+                        # row_gather1); still ~10x fewer ops than the old
+                        # per-level ladder
+                        lvl_hit = lvl_hit + (act_lvl[j] & TJ[j]).astype(
+                            jnp.int32)
+                    turning_int = turning_int | (lvl_hit > 0)
 
                     s_a = c["leaf"] + 1 - jnp.left_shift(1, tzn)
                     ra = jnp.minimum(_tz(s_a, D), D).reshape((1,) + SS)
@@ -1229,6 +1261,19 @@ def make_warmup_kernel(logp_grad_batched: Callable, dim: int, K: int,
                                     - row_gather1(bm, row_t)) < 0)
                            | (dirf * (d1 - row_gather1(m2, row_t)) < 0))
                     if USE_CZ:
+                        # flat CZ gather: one masked select + unrolled
+                        # row-sum over the (D+1)^2 concatenation (the
+                        # unrolled sum keeps this kernel clear of offset-
+                        # layout axis-0 reductions; see row_gather1)
+                        czf = jnp.concatenate(czs, axis=0)
+                        rows_cz = jax.lax.broadcasted_iota(
+                            jnp.int32, ((D + 1) * (D + 1),) + SS, 0)
+
+                        def cz_at(ri, rj):
+                            sel = jnp.where(
+                                rows_cz == (ri * (D + 1) + rj), czf, 0.0)
+                            return jnp.sum(sel, axis=0)
+
                         t3d = ((dirf * (cz_at(row_b, ra) - a_b) < 0)
                                | (dirf * (row_gather1(bl, row_b)
                                           - cz_at(ra, row_b)) < 0))
