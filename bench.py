@@ -765,32 +765,39 @@ def run_bench():
     grid = [head]
     thin = dict(sampler_kw=thin_kw)
     side = [
-        ("normal_d10", dict(attempts=2)),
+        # attempts=1: its runners come warm from the headline via the
+        # cross-instance runner cache (keep_stats filters host-side,
+        # so the jitted runners are identical), and the saved ~60 s
+        # feeds the expensive d=1000 tail config's SIGALRM cap
+        ("normal_d10", dict(attempts=1, num_tune=300, num_draws=700)),
         # round 5: MCLMC warmup runs the fused engine too (mclmc_pallas.py
         # warmup section), and the thin transfer knobs apply as everywhere
-        ("mclmc_d10", dict(**thin)),
-        ("logreg_d100", dict(**thin)),
-        ("logreg_big", dict(num_chains=256, attempts=1, **thin)),
-        ("normal_d1000", dict(attempts=1, **thin)),
+        ("mclmc_d10", dict(num_tune=300, num_draws=400, **thin)),
+        ("logreg_d100", dict(num_tune=300, num_draws=400, **thin)),
+        ("logreg_big", dict(num_chains=256, attempts=1, num_tune=300,
+                            num_draws=400, **thin)),
+        # d=1000 sized to fit the budget TAIL even with cold compile caches
+        # (r5 validation: the 1024x300+400 variant needed ~330+ s after the
+        # rest of the grid and hit its SIGALRM cap); 512 chains x 200+300
+        # measures the same ld-tier kernel (300-draw device probe) at
+        # ~2.5x less wall
+        ("normal_d1000", dict(num_chains=512, num_tune=200, num_draws=300,
+                              attempts=1, **thin)),
     ]
     # Each config gets a hard SIGALRM cap sized from the remaining budget so
     # elapsed_s <= budget_s holds even when one config runs 3x slower than
-    # expected; 60 s is reserved for the final emit + detail write.
+    # expected; 45 s is reserved for the final emit + detail write.
     n_pending = len(side)
     for name, kw in side:
         if _left() < 90:
             grid.append({"config": name, "skipped": "budget"})
             n_pending -= 1
             continue
-        cap = max(60.0, (_left() - 60.0) / max(1, n_pending))
+        cap = max(60.0, (_left() - 45.0) / max(1, n_pending))
         n_pending -= 1
         try:
             with _deadline(min(cap, _left() - 30.0)):
-                if name == "normal_d10":
-                    grid.append(run_config(name, **kw)[1])
-                else:
-                    grid.append(run_config(name, num_tune=300, num_draws=400,
-                                           **kw)[1])
+                grid.append(run_config(name, **kw)[1])
         except Exception as e:  # a failing side config must not kill the bench
             grid.append({"config": name, "error": _short_err(e, cap=80)})
         # Keep the artifact current after every config: the last complete
