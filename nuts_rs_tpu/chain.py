@@ -13,6 +13,7 @@ see ``adapt/schedule.py``) so that expensive refits run under real
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, NamedTuple, Optional
 
@@ -31,6 +32,22 @@ from .transform.affine import AffineTransform, identity_transform, init_diag_fro
 from .transform.affine import grad_to_transformed as grad_to_transformed_
 from .transform.affine import to_transformed as to_transformed_
 from .transform.ops import AFFINE_OPS
+
+
+def _ld_tiers():
+    """Chains-per-block candidates for the dim-on-lanes tier, largest first.
+
+    ``NUTS_PALLAS_LD_BLOCK=<n>`` forces a single candidate and skips the
+    static VMEM pre-check (expert knob: the budget model is conservative —
+    it charges 6 vector checkpoint stacks where the kernel carries 4 — so
+    blocks the formula rejects can still fit the measured ~16MB scoped-VMEM
+    limit; a block that genuinely does not fit fails at Mosaic compile,
+    which the launch-size auto-probe turns into a clean fallback).
+    """
+    forced = os.environ.get("NUTS_PALLAS_LD_BLOCK")
+    if forced:
+        return (int(forced),), True
+    return (32, 16, 8), False
 
 
 class ChainState(NamedTuple):
@@ -731,9 +748,10 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
         # + (D+1)^2 for the ld tier's cross-dot matrix carries (czs in
         # kernels/nuts_pallas.py — (D+1) tensors of (D+1) scalars per chain).
         fixed_ld = (6 * (D + 1) + 32) * dim_pad + (D + 1) ** 2 + 64 * 128
-        for tier in (32, 16, 8):
-            if (4 * tier * (fixed_ld + 2 * 8 * (dim_pad + 128))
-                    + args_bytes <= 12_000_000):
+        ld_tiers, ld_forced = _ld_tiers()
+        for tier in ld_tiers:
+            if ld_forced or (4 * tier * (fixed_ld + 2 * 8 * (dim_pad + 128))
+                             + args_bytes <= 12_000_000):
                 block = tier
                 layout = "ld"
                 fixed = fixed_ld
@@ -973,9 +991,10 @@ def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
         # + (D+1)^2 for the ld cross-dot matrix (see the posterior runner).
         fixed_ld = ((6 * (D + 1) + 48) * dim_pad + (D + 1) ** 2
                     + 64 * 128)
-        for tier in (32, 16, 8):
-            if (4 * tier * (fixed_ld + 2 * 8 * (dim_pad + 128))
-                    + args_bytes <= 12_000_000):
+        ld_tiers, ld_forced = _ld_tiers()
+        for tier in ld_tiers:
+            if ld_forced or (4 * tier * (fixed_ld + 2 * 8 * (dim_pad + 128))
+                             + args_bytes <= 12_000_000):
                 block = tier
                 layout = "ld"
                 fixed = fixed_ld

@@ -13,6 +13,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import functools
+import os
 import time
 import warnings
 from functools import partial
@@ -1484,7 +1485,8 @@ class Sampler:
             hash(self.settings)
         except TypeError:
             return None
-        return (id(self.model), self.settings, self._precision)
+        return (id(self.model), self.settings, self._precision,
+                os.environ.get("NUTS_PALLAS_LD_BLOCK"))
 
     def _try_engine_fallback(self, err: Exception) -> bool:
         """After a fused-engine (Pallas) failure, rebuild the runners on the
