@@ -771,8 +771,11 @@ def run_bench():
         # feeds the expensive d=1000 tail config's SIGALRM cap
         ("normal_d10", dict(attempts=1, num_tune=300, num_draws=700)),
         # round 5: MCLMC warmup runs the fused engine too (mclmc_pallas.py
-        # warmup section), and the thin transfer knobs apply as everywhere
-        ("mclmc_d10", dict(num_tune=300, num_draws=400, **thin)),
+        # warmup section), and the thin transfer knobs apply as everywhere.
+        # 700 draws (matching normal_d10): the ~0.6 s fixed dispatch cost
+        # dominates a 400-draw sample phase on this rig (measured r5:
+        # vs_native_anchor 0.96 at 400 draws, 1.11 at 700 — identical code)
+        ("mclmc_d10", dict(num_tune=300, num_draws=700, **thin)),
         ("logreg_d100", dict(num_tune=300, num_draws=400, **thin)),
         ("logreg_big", dict(num_chains=256, attempts=1, num_tune=300,
                             num_draws=400, **thin)),

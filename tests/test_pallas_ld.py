@@ -26,6 +26,24 @@ def test_runner_picks_ld_tier_at_large_d():
     assert r is not None, "d=300 must build on the ld tier (cl cannot fit)"
 
 
+def test_ld_block_env_override(monkeypatch):
+    # NUTS_PALLAS_LD_BLOCK forces the chains-per-block tier and skips the
+    # static VMEM pre-check (the formula is conservative; a block that
+    # genuinely does not fit fails at Mosaic compile and the engine
+    # fallback catches it — measured round 5: 32 rejected at d=1000).
+    import nuts_rs_tpu.chain as chain_mod
+
+    model = gaussian.normal_logp(1000, 3.0)
+    s = nt.DiagNutsSettings(posterior_kernel="pallas", maxdepth=10)
+    monkeypatch.setenv("NUTS_PALLAS_LD_BLOCK", "32")
+    assert chain_mod._ld_tiers() == ((32,), True)
+    r = make_pallas_posterior_runner(model, None, s.chain_config(),
+                                     phase_start=s.num_tune, base_seed=0)
+    assert r is not None, "forced tier must bypass the budget rejection"
+    monkeypatch.delenv("NUTS_PALLAS_LD_BLOCK")
+    assert chain_mod._ld_tiers() == ((32, 16, 8), False)
+
+
 def test_ld_end_to_end_posterior():
     d = 260
     model = gaussian.normal_logp(d, 3.0)
