@@ -779,6 +779,7 @@ class Sampler:
         keep_stats=None,
         draw_dtype=None,
         stats_dtype=None,
+        store_warmup: bool = True,
         progress_tick: Optional[int] = None,
         auto_recover=0,
         recovery_path: Optional[str] = None,
@@ -1093,6 +1094,17 @@ class Sampler:
         # int/bool stats keep their dtypes.  Diagnostics promote to f64
         # internally, so the cost is storage precision, not compute.
         self.stats_dtype = stats_dtype
+        # ``store_warmup=False``: warmup rows are not stored (reference:
+        # ``ZarrAsyncConfig::store_warmup``, src/storage/zarr/async_impl.rs:
+        # 660-668 — "only post-warmup samples are stored").  TPU-native
+        # extension of the semantics: for all-tuning chunks the draw/stat
+        # payload is dropped ON DEVICE — only the accounting planes
+        # (diverging/n_steps/step_size) and the stuck-chain detector's
+        # position-equality mask cross the D2H link, so warmup transfer
+        # cost disappears along with the storage.  Chunks that straddle the
+        # warmup/posterior boundary (MCLMC's trajectory-switch phases)
+        # transfer normally and drop the tuning rows host-side.
+        self.store_warmup = store_warmup
         # Device-fault auto-recovery (SURVEY.md §5 failure recovery, beyond
         # the reference): with auto_recover=N, the sampler keeps a HOST
         # snapshot of the device state at every completed-chunk boundary
@@ -1633,9 +1645,15 @@ class Sampler:
         # Transfer-reduction knobs run ON DEVICE, before any D2H move.
         if self._stats_keep is not None:
             stats = {k: v for k, v in stats.items() if k in self._stats_keep}
+        # store_warmup=False + a chunk made entirely of tuning draws: the
+        # whole draw/stat payload drops on device — only the accounting
+        # planes (and the detector mask below) cross the link.
+        tuning = self.schedule.is_tuning[lo:hi]
+        drop_warm = (not self.store_warmup and hi > lo
+                     and bool(tuning.all()))
         pos_full_dev = None
         detector_same = None
-        if self.draw_dtype is not None and "position" in stats:
+        if "position" in stats and (self.draw_dtype is not None or drop_warm):
             stats = dict(stats)
             pos_full_dev = stats["position"]       # [k, C, d] full precision
             if self.fail_after is not None:
@@ -1657,7 +1675,13 @@ class Sampler:
                     # The run's first draw has no predecessor: it moved.
                     same = same.at[0].set(False)
                 detector_same = same
-            stats["position"] = stats["position"].astype(self.draw_dtype)
+            if drop_warm:
+                pass                     # dropped below; never downcast
+            elif self.draw_dtype is not None:
+                stats["position"] = stats["position"].astype(self.draw_dtype)
+        if drop_warm:
+            keep = {"diverging", "n_steps", "step_size"}
+            stats = {k: v for k, v in stats.items() if k in keep}
         if self.stats_dtype is not None:
             stats = {k: (v.astype(self.stats_dtype)
                          if k != "position"
@@ -1683,7 +1707,7 @@ class Sampler:
                         if self._auto_recover else None)
 
         expanded = {}
-        if self._expand_chunk is not None:
+        if self._expand_chunk is not None and not drop_warm:
             k = hi - lo
             c = self.settings.num_chains
             keys = jax.random.split(
@@ -1696,7 +1720,7 @@ class Sampler:
                               else stats["position"])
             exp = self._expand_chunk(keys, pos_for_expand)
             expanded = {name: np.asarray(v) for name, v in exp.items()}
-        if self.model.expand_host_fn is not None:
+        if self.model.expand_host_fn is not None and not drop_warm:
             # Host-side expansion: arbitrary numpy dtypes (strings,
             # datetime64 — nuts-storable Value parity; see Model).  A
             # two-argument fn also receives the chunk's first GLOBAL draw
@@ -1712,9 +1736,20 @@ class Sampler:
             else:
                 expanded.update(self.model.expand_host_fn(pos_np))
 
-        tuning = self.schedule.is_tuning[lo:hi]
-        self.trace.record_chunk(lo, stats, expanded, tuning)
-        if self.stop_when is not None and not self.converged:
+        if drop_warm:
+            pass          # all-tuning chunk with store_warmup=False: no rows
+        elif not self.store_warmup and tuning.any():
+            # Mixed warmup/posterior chunk (MCLMC trajectory-switch phases):
+            # transferred in full, tuning rows dropped host-side.
+            split = int(tuning.sum())
+            self.trace.record_chunk(
+                lo + split,
+                {k: v[:, split:] for k, v in stats.items()},
+                {k: np.asarray(v)[:, split:] for k, v in expanded.items()},
+                tuning[split:])
+        else:
+            self.trace.record_chunk(lo, stats, expanded, tuning)
+        if self.stop_when is not None and not self.converged and not drop_warm:
             merged = {**stats, **expanded}
             x = np.asarray(merged[self.stop_when.var])
             post = x[:, ~tuning]
@@ -2106,6 +2141,12 @@ class Sampler:
                                           if k not in _POSTERIOR_STAT_KEYS}),
             "coords": dict(getattr(self.model, "coords", None) or {}),
         }
+        if not self.store_warmup:
+            # store_warmup=False: no warmup groups exist anywhere
+            # (reference async_impl.rs:660-668 — "only post-warmup samples
+            # are stored"), so none are reflected either.
+            out["warmup_posterior"] = {}
+            out["warmup_sample_stats"] = {}
 
         # Sparse event streams (storage array names are
         # f"{event}_{field}"): reflected from the stat keys present.
@@ -2179,6 +2220,7 @@ def schema(
     keep_stats=None,
     draw_dtype=None,
     stats_dtype=None,
+    store_warmup: bool = True,
 ):
     """Settings-level trace-schema reflection — no ``Sampler``, no device.
 
@@ -2198,7 +2240,7 @@ def schema(
     settings = settings or NutsSettings()
     s = Sampler(model, settings, dtype=dtype, keep_stats=keep_stats,
                 draw_dtype=draw_dtype, stats_dtype=stats_dtype,
-                _reflect_only=True)
+                store_warmup=store_warmup, _reflect_only=True)
     return s.schema()
 
 
@@ -2219,6 +2261,7 @@ def sample(
     keep_stats=None,
     draw_dtype=None,
     stats_dtype=None,
+    store_warmup: bool = True,
 ) -> Trace:
     """Sample from ``model`` — the TPU analog of ``Sampler::new`` + ``wait``.
 
@@ -2236,7 +2279,7 @@ def sample(
         mesh=mesh, stop_when=stop_when, fail_after=fail_after,
         max_chains_per_launch=max_chains_per_launch,
         keep_stats=keep_stats, draw_dtype=draw_dtype,
-        stats_dtype=stats_dtype)
+        stats_dtype=stats_dtype, store_warmup=store_warmup)
     return sampler.run()
 
 

@@ -57,7 +57,17 @@ class MemoryStorage(TraceStorage):
 
     def _assemble(self) -> Trace:
         if not self._chunks:
-            raise ValueError("No draws recorded")
+            # A failing run finalizes its trace even when nothing was stored
+            # (e.g. store_warmup=False + every chain failed during warmup —
+            # the reference also finalizes every trace on failure,
+            # src/sampler.rs:1452-1457); an empty trace must not mask the
+            # ChainFailedError with a storage exception.
+            return Trace(
+                posterior={}, sample_stats={}, warmup_posterior={},
+                warmup_sample_stats={}, transformation_updates=[],
+                settings=self._settings,
+                coords=getattr(self._model, "coords", None),
+                dims=getattr(self._model, "dims", None))
         stats = {
             k: np.concatenate([c[k] for c in self._chunks], axis=1)
             for k in self._chunks[0]

@@ -137,7 +137,8 @@ class ZarrStorage(TraceStorage):
     def __init__(self, path: str, settings, model, num_chains: int,
                  chunk_draws: int = 100, async_writes: bool = True,
                  max_queued_writes: int = 64, writer_threads: int = 2,
-                 codec: Optional[str] = None, shuffle: bool = False):
+                 codec: Optional[str] = None, shuffle: bool = False,
+                 store_warmup: bool = True):
         self.path = path
         self._writer = None
         if async_writes and not is_url_path(path):
@@ -170,12 +171,18 @@ class ZarrStorage(TraceStorage):
         mk = lambda name, total: _GroupBuffer(
             self.root.group(name), num_chains, total, chunk_draws,
             writer=self._writer, codec=codec, shuffle=shuffle)
+        self.store_warmup = store_warmup
         self.groups = {
             ("posterior", False): mk("posterior", num_draws),
             ("sample_stats", False): mk("sample_stats", num_draws),
-            ("posterior", True): mk("warmup_posterior", num_tune),
-            ("sample_stats", True): mk("warmup_sample_stats", num_tune),
         }
+        if store_warmup:
+            # store_warmup=False: no warmup groups exist at all (reference
+            # async_impl.rs:660-668 — "only post-warmup samples are stored")
+            self.groups[("posterior", True)] = mk("warmup_posterior",
+                                                  num_tune)
+            self.groups[("sample_stats", True)] = mk("warmup_sample_stats",
+                                                     num_tune)
         self._write_coords()
         # Sparse event accumulation (compacted at finalize).
         self._events: Dict[str, List[dict]] = {"divergence": [],
@@ -190,7 +197,9 @@ class ZarrStorage(TraceStorage):
                 # String coords (nuts-rs src/storage/zarr/common.rs:26-58)
                 # as fixed-length unicode arrays.
                 arr = arr.astype(str)
-            for key in ("posterior", "warmup_posterior"):
+            keys = (("posterior", "warmup_posterior") if self.store_warmup
+                    else ("posterior",))
+            for key in keys:
                 ZarrGroup(zarr_join(self.path, key)).write_full_array(
                     name, arr, dims=[name])
 
@@ -206,9 +215,11 @@ class ZarrStorage(TraceStorage):
         group_of = {
             "posterior": self.groups[("posterior", False)],
             "sample_stats": self.groups[("sample_stats", False)],
-            "warmup_posterior": self.groups[("posterior", True)],
-            "warmup_sample_stats": self.groups[("sample_stats", True)],
         }
+        if self.store_warmup:
+            group_of["warmup_posterior"] = self.groups[("posterior", True)]
+            group_of["warmup_sample_stats"] = self.groups[
+                ("sample_stats", True)]
         for gname, buf in group_of.items():
             for name, e in (schema.get(gname) or {}).items():
                 buf.declare(name, e["dtype"], e["shape"],
@@ -250,7 +261,7 @@ class ZarrStorage(TraceStorage):
             ids = np.asarray(ids)
         for sl, is_warm in segments:
             n = sl.stop - sl.start
-            if n == 0:
+            if n == 0 or (is_warm and not self.store_warmup):
                 continue
             post = self.groups[("posterior", is_warm)]
             ss = self.groups[("sample_stats", is_warm)]
@@ -407,10 +418,18 @@ class ZarrConfig(StorageConfig):
     # filter, so zarr-python/ArviZ read it transparently.  Off by default:
     # the Python-side byte transpose costs ~1 GB/s of host CPU per writer.
     shuffle: bool = False
+    # Skip the warmup groups entirely — only post-warmup samples are stored
+    # (reference ``ZarrAsyncConfig::store_warmup``, src/storage/zarr/
+    # async_impl.rs:660-668).  The sampler-level ``Sampler(store_warmup=
+    # False)`` knob additionally drops the warmup payload at the DEVICE
+    # boundary (no D2H transfer at all); this storage-level flag matches
+    # the reference API and works with any sampler configuration.
+    store_warmup: bool = True
 
     def new_trace(self, settings, model, num_chains):
         return ZarrStorage(self.path, settings, model, num_chains,
                            self.chunk_draws, async_writes=self.async_writes,
                            max_queued_writes=self.max_queued_writes,
                            writer_threads=self.writer_threads,
-                           codec=self.codec, shuffle=self.shuffle)
+                           codec=self.codec, shuffle=self.shuffle,
+                           store_warmup=self.store_warmup)
