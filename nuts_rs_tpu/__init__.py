@@ -43,6 +43,23 @@ from .storage.csv import CsvConfig
 from .storage.memory import MemoryConfig, Trace
 from .storage.zarr import ZarrConfig
 from .parallel.mesh import make_mesh
+from .kernels.nuts import DivergenceInfo
+
+# Reference-name aliases — drop-in familiarity for nuts-rs users (each maps
+# to the closest concept here; the aliased class IS the implementation, not
+# a shim).  src/lib.rs:115-153 is the reference export list.
+KineticEnergyKind = KineticKind            # sampler.rs KineticEnergyKind
+StepSizeAdaptMethod = StepSizeMethod       # stepsize/ StepSizeAdaptMethod
+FlowSettings = FlowAdaptSettings           # external_adapt_strategy.rs
+# EuclideanAdaptOptions' schedule fields are AdaptScheduleOptions verbatim
+# (adapt_strategy.rs:42-54); its nested step_size_settings /
+# mass_matrix_options live as flat `step_size` / `store_mass_matrix` /
+# `use_grad_based_estimate` fields on the Settings presets here.
+EuclideanAdaptOptions = AdaptScheduleOptions
+# The reference's HashMap and Ndarray backends are both "keep everything in
+# host memory"; MemoryConfig is that backend here (dict-of-arrays trace).
+HashMapConfig = MemoryConfig
+NdarrayConfig = MemoryConfig
 
 __version__ = "0.1.0"
 
@@ -82,4 +99,13 @@ __all__ = [
     "summary",
     "sample",
     "sample_sequentially",
+    "schema",
+    # reference-name aliases (see the alias block above)
+    "DivergenceInfo",
+    "KineticEnergyKind",
+    "StepSizeAdaptMethod",
+    "FlowSettings",
+    "EuclideanAdaptOptions",
+    "HashMapConfig",
+    "NdarrayConfig",
 ]

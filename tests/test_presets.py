@@ -75,3 +75,27 @@ def test_low_rank_store_mass_matrix_events():
     # at least one update found a non-trivial eigendirection
     assert max(e["num_eigenvalues"].max(initial=0)
                for e in trace.transformation_updates) >= 1
+
+
+def test_reference_name_aliases():
+    # Drop-in names from the reference's crate root (src/lib.rs:115-153):
+    # each alias IS the implementing class, not a shim.
+    import nuts_rs_tpu as nt
+
+    assert nt.KineticEnergyKind is nt.KineticKind
+    assert nt.StepSizeAdaptMethod is nt.StepSizeMethod
+    assert nt.FlowSettings is nt.FlowAdaptSettings
+    assert nt.EuclideanAdaptOptions is nt.AdaptScheduleOptions
+    assert nt.HashMapConfig is nt.MemoryConfig
+    assert nt.NdarrayConfig is nt.MemoryConfig
+    assert nt.DivergenceInfo is not None
+    # EuclideanAdaptOptions schedule fields match adapt_strategy.rs:42-54
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(nt.EuclideanAdaptOptions)}
+    for ref_field in ("early_window", "step_size_window",
+                      "mass_matrix_switch_freq",
+                      "early_mass_matrix_switch_freq",
+                      "mass_matrix_update_freq",
+                      "mass_matrix_window_growth"):
+        assert ref_field in names, ref_field
