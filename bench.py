@@ -426,12 +426,13 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
         from nuts_rs_tpu.sampler import _schedule_chunk
 
         lo = settings.num_tune
-        # 400-draw probe: the ~30 ms fixed dispatch cost of a runner call
-        # halves the small-d rate at 200 draws (measured round 5: d=10
-        # 25M at 200 draws vs 40M at 400 — same single-dispatch
-        # methodology, better amortization); large-d configs are compute-
-        # dominated either way.
-        hi = min(lo + min(400, num_draws), num_tune + num_draws)
+        # 700-draw probe: the ~28 ms fixed dispatch cost of a runner call
+        # floors the small-d rate (measured round 5, same code, same
+        # single-dispatch methodology: d=10 24-28M at 200 draws, 41.6M at
+        # 400, 50-51.5M at 700; the fixed-cost-subtracted asymptote is
+        # ~86M); large-d configs are compute-dominated either way and
+        # their draw budgets cap the probe below this anyway.
+        hi = min(lo + min(700, num_draws), num_tune + num_draws)
         runner = jax.jit(next(
             r for s_, e_, r in sampler._phase_runners if s_ <= lo < e_))
         # extra_flags adds runner-specific per-draw flags (e.g. MCLMC's
