@@ -403,9 +403,16 @@ def run_config(name, num_chains=1024, num_tune=300, num_draws=700,
     grad_evals = int(n_steps.sum())
     grad_evals_per_sec = grad_evals / t_sample
     # End-to-end rate includes warmup work and warmup wall-clock (the fused
-    # Pallas warmup engine makes tuning run at kernel speed too).
-    tune_evals = int(
-        trace.warmup_sample_stats["n_steps"].astype(np.int64).sum())
+    # Pallas warmup engine makes tuning run at kernel speed too).  With
+    # store_warmup=False (the thin configs) the warmup stats are never
+    # stored, so the warmup leapfrog count comes from the host accounting
+    # planes instead (ChainProgress.total_num_steps covers both phases).
+    warm_steps = trace.warmup_sample_stats.get("n_steps")
+    if warm_steps is not None and warm_steps.size:
+        tune_evals = int(warm_steps.astype(np.int64).sum())
+    else:
+        total_steps = sum(p.total_num_steps for p in sampler.progress)
+        tune_evals = max(0, int(total_steps) - grad_evals)
     e2e_evals_per_sec = (grad_evals + tune_evals) / (t_sample + t_tune)
 
     # Bulk ESS (rank-normalized Geyer estimator) on the first coordinate.
@@ -690,7 +697,13 @@ def run_bench():
     # a real — if conservative — rate first.  Skipped when the device probe
     # was fast and the budget generous?  No: always run it, it costs ~30-60 s
     # warm and its line is strictly better than the boot line.
-    thin_kw = dict(keep_stats=(), draw_dtype=jnp.float16)
+    # store_warmup=False: warmup draws/stats never cross the D2H link (the
+    # reference's criterion bench stores nothing at all, so thin configs
+    # dropping warmup storage is still strictly more end-to-end work than
+    # benches/sample.rs measures); warmup leapfrog counts come from the
+    # host accounting planes (see run_config).
+    thin_kw = dict(keep_stats=(), draw_dtype=jnp.float16,
+                   store_warmup=False)
     fb_anchor = _ANCHOR_FALLBACK[(10, 10, 0)]
     try:
         q_rate, q_head = run_config(
