@@ -655,7 +655,12 @@ def _result(head_rate, head, grid, provisional=False):
     detail = {"configs": [_compact_config(c) for c in grid],
               "headline_config": head.get("config"),
               "headline_value_is": "device_kernel_evals_per_sec",
-              "end_to_end_evals_per_sec": round(head_rate, 1),
+              # The head row's true end-to-end rate (head_rate — run_config's
+              # return value — is the sample-phase grad rate and already
+              # ships as grad_evals_per_sec in BENCH_DETAIL.json; labeling
+              # it e2e here was a round-5 mislabel).
+              "end_to_end_evals_per_sec": head.get(
+                  "end_to_end_evals_per_sec", round(head_rate, 1)),
               "budget_s": _BUDGET_S,
               "elapsed_s": round(time.monotonic() - _T0, 1),
               "full_detail": "BENCH_DETAIL.json"}
