@@ -50,6 +50,26 @@ def _ld_tiers():
     return (32, 16, 8), False
 
 
+def _cl_tiers(dim):
+    """Chains-per-block candidates for the chains-on-lanes layout.
+
+    256 lanes whenever the VMEM formula admits it (it self-limits to
+    d ≲ 102 at maxdepth 10): per-iteration scalar op-issue overhead is
+    independent of the lane count, so wider blocks amortize it across
+    more chains — measured round 5 at the formula's worst admissible
+    case (d=100 GLM, 1024 chains, v5e): 1.85M → 2.27M device evals/s
+    (+23%), Mosaic compiles clean.  (Until round 5 the 256 tier was
+    gated at dim <= 32 out of caution.)  ``NUTS_PALLAS_CL_BLOCK=<n>``
+    forces a single candidate and skips the static VMEM pre-check
+    (expert knob; a block that does not fit fails at Mosaic compile and
+    the engine fallback catches it).
+    """
+    forced = os.environ.get("NUTS_PALLAS_CL_BLOCK")
+    if forced:
+        return (int(forced),), True
+    return (256, 128), False
+
+
 class ChainState(NamedTuple):
     """All per-chain device state; every leaf has a leading chains axis."""
 
@@ -710,11 +730,17 @@ def make_pallas_posterior_runner(model, strategy, config: ChainConfig,
     # state cannot fit at block 128 (d ≳ 200 at maxdepth 10 — the checkpoint
     # stacks are 6*(D+1)*d words/chain) fall back to the XLA kernels by
     # returning None here.
-    tiers = (256, 128) if dim <= 32 else (128,)
+    tiers, cl_forced = _cl_tiers(dim)
 
+    # Budget 12.5MB: empirically bracketed — the formula's 12.3MB estimate
+    # for d=100 GLM at 256 lanes (incl. 0.4MB VMEM-replicated data)
+    # compiles and runs (+23% measured, round 5), while the ld tier's
+    # 16.3MB estimate is rejected by Mosaic (BASELINE.md round-5 negative
+    # result); the physical scoped-VMEM limit is ~16MB.
     def pick_block(abytes):
         for tier in tiers:
-            if 4 * tier * (fixed + 2 * 8 * (dim + 13)) + abytes <= 12_000_000:
+            if cl_forced or (4 * tier * (fixed + 2 * 8 * (dim + 13))
+                             + abytes <= 12_500_000):
                 return tier
         return None
 
@@ -975,11 +1001,12 @@ def make_pallas_warmup_runner(model, strategy, config: ChainConfig,
     args_bytes = 4 * sum(int(np.prod(a.shape)) for a in pallas_args)
     fixed = 6 * (D + 1) * dim + 40 * dim + 8 * dim
     # Lane blocks must be multiples of 128 (see the posterior runner).
-    tiers = (256, 128) if dim <= 32 else (128,)
+    tiers, cl_forced = _cl_tiers(dim)
     block = None
     layout = "cl"
     for tier in tiers:
-        if 4 * tier * (fixed + 2 * 8 * (dim + 15)) + args_bytes <= 12_000_000:
+        if cl_forced or (4 * tier * (fixed + 2 * 8 * (dim + 15))
+                         + args_bytes <= 12_000_000):
             block = tier
             break
     if block is None:

@@ -1498,7 +1498,8 @@ class Sampler:
         except TypeError:
             return None
         return (id(self.model), self.settings, self._precision,
-                os.environ.get("NUTS_PALLAS_LD_BLOCK"))
+                os.environ.get("NUTS_PALLAS_LD_BLOCK"),
+                os.environ.get("NUTS_PALLAS_CL_BLOCK"))
 
     def _try_engine_fallback(self, err: Exception) -> bool:
         """After a fused-engine (Pallas) failure, rebuild the runners on the
