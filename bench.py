@@ -143,7 +143,14 @@ def _write_detail(payload):
         pass
 
 
-class _ConfigTimeout(Exception):
+class _ConfigTimeout(BaseException):
+    # BaseException on purpose: the alarm fires inside run_next_chunk,
+    # where the sampler's auto-recovery / engine-fallback paths catch
+    # `Exception` — a wall-clock cap is neither a device fault nor an
+    # engine failure, and must not trigger a runner rebuild + retry that
+    # blows past the cap (observed: a capped logreg_big fell back to the
+    # sync engine mid-timeout and kept running).  Caught explicitly at
+    # the three _deadline call sites.
     pass
 
 
@@ -758,7 +765,7 @@ def run_bench():
                                     attempts=1, with_anchor=False)
             if r2 > head_rate:
                 head_rate, head = r2, finish_head(r2, h2)
-        except Exception:
+        except (_ConfigTimeout, Exception):
             pass
     bw = _d2h_bandwidth_mbps()
     if bw is not None:
@@ -820,7 +827,8 @@ def run_bench():
         try:
             with _deadline(min(cap, _left() - 30.0)):
                 grid.append(run_config(name, **kw)[1])
-        except Exception as e:  # a failing side config must not kill the bench
+        except (_ConfigTimeout, Exception) as e:
+            # a failing/overrunning side config must not kill the bench
             grid.append({"config": name, "error": _short_err(e, cap=80)})
         # Keep the artifact current after every config: the last complete
         # line wins, so a kill between configs still records everything
@@ -843,7 +851,7 @@ def run_bench():
                 r_new, h_new = run_config("normal_d10_thin",
                                           sampler_kw=thin_kw, attempts=1,
                                           with_anchor=False)
-        except Exception:
+        except (_ConfigTimeout, Exception):
             break
         if r_new > head_rate:
             # keep the measured-anchor fields from the section-2 pass (the
