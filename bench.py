@@ -50,6 +50,7 @@ import re
 import signal
 import subprocess
 import sys
+import threading
 import time
 
 import jax
@@ -105,6 +106,8 @@ def _emit_result(result):
         result.get("detail", {})["configs"] = "see BENCH_DETAIL.json"
         line = json.dumps(result, **compact)
     assert len(line) < _MAX_LINE, len(line)
+    global _LAST_LINE
+    _LAST_LINE = line
     print(line, flush=True)
 
 
@@ -141,6 +144,39 @@ def _write_detail(payload):
             json.dump(payload, f, indent=1)
     except Exception:
         pass
+
+
+_LAST_LINE = None
+_WATCHDOG_CANCEL = threading.Event()
+
+
+def _start_watchdog(grace=90.0):
+    """Hard line-of-last-resort for wedged main threads.
+
+    SIGALRM only interrupts the main thread BETWEEN bytecodes; a main
+    thread stuck inside an uninterruptible C call (observed: a 52MB
+    device_put through a 1.7 Mb/s tunnel window — hours at that rate)
+    never runs the Python signal handler, the per-config caps never fire,
+    and the driver's process kill records rc=124.  A daemon THREAD is not
+    blocked by that: at budget + grace it re-prints the last emitted
+    result line (every _emit_result stores it) and _exit(0)s, so the
+    driver's tail always ends with a complete, parseable line."""
+    def _run():
+        while not _WATCHDOG_CANCEL.is_set():
+            left = (_T0 + _BUDGET_S + grace) - time.monotonic()
+            if left <= 0:
+                break
+            _WATCHDOG_CANCEL.wait(min(left, 5.0))
+        if _WATCHDOG_CANCEL.is_set():
+            return
+        if _LAST_LINE is not None:
+            print(_LAST_LINE, flush=True)
+        sys.stdout.flush()
+        os._exit(0)
+
+    t = threading.Thread(target=_run, daemon=True, name="bench-watchdog")
+    t.start()
+    return t
 
 
 class _ConfigTimeout(BaseException):
@@ -927,7 +963,9 @@ if __name__ == "__main__":
         elif "--micro" in sys.argv:
             result = run_micro()
         else:
+            _start_watchdog()
             result = run_bench()
+            _WATCHDOG_CANCEL.set()
     except Exception as e:
         # The driver parses the last JSON line; emit one no matter what.
         result = {"metric": "gradient_evals_per_sec_per_chip", "value": 0.0,

@@ -137,3 +137,33 @@ def test_simulated_driver_tail_parses():
     # Every grid config is represented in the artifact line.
     names = {c["config"] for c in parsed["detail"]["configs"]}
     assert names == {c["config"] for c in grid}
+
+
+def test_watchdog_reprints_last_line_when_main_wedged():
+    # A main thread stuck in an uninterruptible C call never runs the
+    # SIGALRM handler (observed: 52MB device_put through a 1.7 Mb/s tunnel
+    # window); the watchdog THREAD re-prints the last emitted line at
+    # budget + grace and exits 0 so the driver tail ends with a complete
+    # parseable line.
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import os, sys, time
+        os.environ["BENCH_BUDGET_S"] = "2"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        sys.path.insert(0, %r)
+        import jax; jax.config.update("jax_platforms", "cpu")
+        import bench
+        bench._emit_result({"metric": "gradient_evals_per_sec_per_chip",
+                            "value": 123.0, "unit": "grad_evals/s",
+                            "vs_baseline": 1.0, "detail": {"configs": []}})
+        bench._start_watchdog(grace=1.0)
+        time.sleep(60)
+    """) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=45)
+    assert out.returncode == 0, (out.returncode, out.stderr[-500:])
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert json.loads(lines[-1])["value"] == 123.0
